@@ -1,0 +1,49 @@
+"""Configuration for the CMS-BWT TPU framework.
+
+Mirrors the reference CLI contract (``/root/reference/utils.h:8-14`` and
+``/root/reference/main.cpp:37-70``) while exposing every hard-coded constant of
+the reference as a named field (ref ``CMS-BWT-functions.cpp:341,1131,1792``,
+``CMS-BWT.h:28``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+# Reserved alphabet values (ref CMS-BWT.h:28 and CMS-BWT-functions.cpp:231-237).
+TERMINATOR = 0          # appended last to the augmented reference
+PRE_TERMINATOR = 1      # appended second-to-last
+SEPARATOR = 2           # document separator in the collection
+ALPHABET_AUGMENT_LO = 3     # chars [3, 128) absent from the reference are appended
+ALPHABET_AUGMENT_HI = 128   # (ref loops i in [3, sizeChars/2) with sizeChars=256)
+
+UINT64_MAX = 2**64 - 1
+
+
+@dataclasses.dataclass
+class Config:
+    """Run configuration (CLI-compatible with the reference's ``Args``)."""
+
+    # --- reference-compatible flags (main.cpp:37-70) ---
+    filename: str = ""              # input list file: line1=ref path, line2=collection path
+    outname: str = ""               # output basename (default: filename)
+    rle: bool = False               # -r : emit .rl_bwt instead of .bwt
+    buffer_gib: int = 2             # -b : batching buffer in GiB (small path only)
+    prefix_length: int = UINT64_MAX  # -p : prefix of the collection file to process
+
+    # --- reference-internal constants, surfaced (CMS-BWT-functions.cpp) ---
+    small_ref_threshold: int = 1_000_000   # small vs large dispatch (:1792)
+    chunk_cap_bytes: int = 1_000_000_000   # phrase-chunk spill cap (:341, :1131)
+    write_buffer_bytes: int = 1 << 20      # output write buffer (:943)
+
+    # --- TPU-native knobs (no reference equivalent) ---
+    backend: str = "auto"           # "host" (numpy), "device" (jax), "auto"
+    lanes: int = 256                # parallel MS cursors per device
+    lane_chunk: int = 1 << 16       # collection chars per lane chunk
+    skip_window: int = 256          # vectorized PLCP-skip / memcmp window
+    mesh_shape: Optional[tuple] = None  # None = single device
+    replicate_reference_rle_quirk: bool = True  # reproduce ref RLE residual quirk
+                                    # (see merge.py; ref :1069-1078 vs :986-994)
+
+    def resolved_outname(self) -> str:
+        return self.outname if self.outname else self.filename

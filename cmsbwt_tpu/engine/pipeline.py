@@ -1,0 +1,113 @@
+"""End-to-end pipeline: the ``computeBWT`` equivalent
+(ref ``CMS-BWT-functions.cpp:1788-1797``).
+
+Unlike the reference's small/large split (dense vector-of-maps vs
+unordered_map + disk spill), the array-parallel engine uses one code path;
+the small/large distinction survives only as the memory-policy knob for
+sharding/streaming (see ``cmsbwt_tpu/parallel``) and the small path's debug
+artifact (``<out>.counterSmallerThanHead_true``, ref :919-924) emitted for
+artifact parity.
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..config import Config
+from ..io import fasta
+from ..index.host import ReferenceIndex, build_reference_index
+from ..utils.timing import PhaseTimer
+from . import heads as heads_mod
+from . import merge as merge_mod
+from . import ranking as ranking_mod
+from . import tails as tails_mod
+from .ms_host import MSArrays, ms_scan_collection
+
+
+@dataclass
+class PipelineResult:
+    run_len: np.ndarray
+    run_char: np.ndarray
+    d: int
+    sn: int
+    h: int
+
+
+def compute_bwt_arrays(index: ReferenceIndex, coll: fasta.Collection,
+                       rle_quirk: bool,
+                       ms: MSArrays | None = None,
+                       timer: PhaseTimer | None = None) -> PipelineResult:
+    """Run the full CMS pipeline on in-memory arrays.
+
+    ``ms`` may be precomputed (e.g. by the device kernel); otherwise the
+    host scan is used.
+    """
+    timer = timer or PhaseTimer()
+    d = coll.d
+    if ms is None:
+        with timer.phase("ms_scan"):
+            ms = ms_scan_collection(index, coll.sx, coll.sep_positions)
+    with timer.phase("head_extract"):
+        heads = heads_mod.extract_heads(index, ms, coll.sx)
+        heads_mod.fixup_heads(index, heads)
+    with timer.phase("head_group"):
+        classes = heads_mod.build_classes(index, heads)
+    with timer.phase("head_rank"):
+        ranked = ranking_mod.rank_heads(index, classes, heads, d)
+    with timer.phase("tail_position"):
+        counter = tails_mod.position_tails(index, classes, ranked)
+    with timer.phase("merge"):
+        heads_cnt, tails_cnt = merge_mod.bucket_counts(index, ms.pos,
+                                                       ms.is_head)
+        run_len, run_char = merge_mod.build_runs(
+            index, classes, ranked, counter, heads_cnt, tails_cnt, d,
+            rle_quirk)
+    return PipelineResult(run_len=run_len, run_char=run_char, d=d,
+                          sn=coll.sn, h=heads.h)
+
+
+def compute_bwt(cfg: Config) -> dict:
+    """Full file-to-file run (ref main.cpp:85-132 + computeBWT)."""
+    timer = PhaseTimer()
+    ref_path, coll_path = fasta.read_input_list(cfg.filename)
+    outname = cfg.resolved_outname()
+
+    with timer.phase("load_reference"):
+        ref = fasta.load_reference_bytes(ref_path)
+        x_aug = fasta.augment_reference(ref)
+    sn_limit = fasta.collection_sn_limit(coll_path, cfg.prefix_length)
+    with timer.phase("build_index"):
+        index = _build_index(cfg, x_aug)
+    with timer.phase("parse_collection"):
+        coll = fasta.parse_collection(coll_path, sn_limit)
+        fasta.validate_collection(coll)
+
+    rle_quirk = cfg.rle and cfg.replicate_reference_rle_quirk
+    result = compute_bwt_arrays(index, coll, rle_quirk, timer=timer)
+
+    with timer.phase("write_output"):
+        if cfg.rle:
+            data = merge_mod.runs_to_rle(result.run_len, result.run_char)
+            out_path = outname + ".rl_bwt"
+        else:
+            data = merge_mod.runs_to_plain(result.run_len, result.run_char)
+            out_path = outname + ".bwt"
+        with open(out_path, "wb") as f:
+            f.write(data)
+    with open(outname + ".log", "w") as f:
+        f.write(timer.report())
+        f.write(f"\nsn: {result.sn}\nheads: {result.h}\nD: {result.d}\n")
+    return {"out_path": out_path, "bytes": len(data), "timer": timer,
+            "result": result}
+
+
+def _build_index(cfg: Config, x_aug: np.ndarray) -> ReferenceIndex:
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "host"
+    if backend == "host":
+        return build_reference_index(x_aug)
+    from ..index.device import build_reference_index_device
+    return build_reference_index_device(x_aug)

@@ -1,0 +1,125 @@
+"""Tail positioning: credit each implied tail suffix against the heads of its
+bucket (ref ``CMS-BWT-functions.cpp:733-902`` buffered small path /
+``:1525-1603`` direct large path).
+
+Reference semantics, vectorized:
+
+* a class ``p`` at position ``i`` implies tails at buckets ``i+1+k`` for
+  ``k in [0, untilNext)`` with key ``(len-1-k, smaller, isaNext)``;
+* buckets without heads need nothing (``counterDoNothing``);
+* ``lower_bound`` in the bucket's class list; if the key matches exactly
+  (len + isaNext equality, match.h:23-25), each member succ-rank of ``p`` is
+  credited at slot ``base + searchsorted(bucketClassRanks, r, 'right')`` —
+  the reference's element-wise sorted-list merge (ref :1567-1589) — with
+  overflow going to the next class's base slot only if a next class exists
+  in the bucket; otherwise the whole member count is credited at the found
+  class's base slot (``counterGood``).
+
+The per-(class, offset) loop of the reference is O(total tails); here only
+the (class, head-bucket) intersections are enumerated via searchsorted over
+the sorted head-bucket position list — strictly less work.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..index.host import ReferenceIndex
+from .heads import ClassArrays
+from .ranking import RankedHeads
+
+
+def _combine_key(key_k: np.ndarray, isa_next: np.ndarray, n: int) -> np.ndarray:
+    """Pack (K, isaNext) into one int64 sort key. K < 2n, isaNext < n."""
+    if 2 * n * (n + 1) + n >= 2**62:
+        raise NotImplementedError(
+            "reference length too large for packed class keys; "
+            "two-stage searchsorted fallback not yet implemented")
+    return key_k * np.int64(n + 1) + isa_next
+
+
+def position_tails(index: ReferenceIndex, classes: ClassArrays,
+                   ranked: RankedHeads) -> np.ndarray:
+    """Return counterSmallerThanHead (int64 [h+1], slot-indexed)."""
+    n = index.n
+    h = len(ranked.member_rank_sorted)
+    counter = np.zeros(h + 1, dtype=np.int64)
+    if classes.n_classes == 0:
+        return counter
+
+    # bucket positions that contain heads, ascending; classes are stored in
+    # text order so class ranges per bucket come from searchsorted
+    bucket_pos = np.unique(classes.pos)
+    cls_lo = np.searchsorted(classes.pos, bucket_pos, side="left")
+    cls_hi = np.searchsorted(classes.pos, bucket_pos, side="right")
+
+    combo = _combine_key(classes.key_k, classes.isa_next, n)
+
+    # enumerate (class, interesting bucket) pairs
+    first_b = classes.pos + 1
+    last_b = classes.pos + classes.until_next        # inclusive
+    lo = np.searchsorted(bucket_pos, first_b, side="left")
+    hi = np.searchsorted(bucket_pos, last_b, side="right")
+    cnt = np.maximum(hi - lo, 0)
+    total = int(cnt.sum())
+    if total == 0:
+        return counter
+    src_cls = np.repeat(np.arange(classes.n_classes), cnt)
+    offsets = np.concatenate([[0], np.cumsum(cnt)])[:-1]
+    within = np.arange(total) - np.repeat(offsets, cnt)
+    b_idx = lo[src_cls] + within                     # index into bucket_pos
+    b = bucket_pos[b_idx]
+    k = b - classes.pos[src_cls] - 1                 # tail offset in [0, untilNext)
+
+    q_len = classes.length[src_cls] - 1 - k
+    q_small = classes.smaller[src_cls]
+    q_isa = classes.isa_next[src_cls]
+    q_k = np.where(q_small, q_len, 2 * np.int64(n) - q_len)
+    q_combo = _combine_key(q_k, q_isa, n)
+
+    # lower_bound within each bucket's class range
+    found = _batched_lower_bound(combo, q_combo, cls_lo[b_idx], cls_hi[b_idx])
+    in_range = found < cls_hi[b_idx]
+    exact = in_range & (combo[np.minimum(found, classes.n_classes - 1)] == q_combo)
+    good = in_range & ~exact
+
+    # good path: lump-credit the source class's member count at the found base
+    np.add.at(counter, ranked.slot_base[found[good]],
+              classes.size[src_cls[good]])
+
+    # exact path: member-wise merge via searchsorted
+    eidx = np.nonzero(exact)[0]
+    if len(eidx):
+        for j in eidx:
+            sc = src_cls[j]
+            fc = found[j]
+            src_ranks = ranked.member_rank_sorted[
+                ranked.slot_base[sc]: ranked.slot_base[sc + 1]]
+            dst_ranks = ranked.member_rank_sorted[
+                ranked.slot_base[fc]: ranked.slot_base[fc + 1]]
+            p = np.searchsorted(dst_ranks, src_ranks, side="right")
+            m = len(dst_ranks)
+            inb = p < m
+            np.add.at(counter, ranked.slot_base[fc] + p[inb], 1)
+            spill = int((~inb).sum())
+            if spill and fc + 1 < cls_hi[b_idx[j]]:
+                counter[ranked.slot_base[fc + 1]] += spill
+    return counter
+
+
+def _batched_lower_bound(sorted_vals: np.ndarray, queries: np.ndarray,
+                         lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+    """Vectorized lower_bound of queries[i] within sorted_vals[lo[i]:hi[i]].
+
+    Uses a fixed number of binary-search rounds (log2 of max range)."""
+    low = lo.astype(np.int64).copy()
+    high = hi.astype(np.int64).copy()
+    max_range = int(np.max(hi - lo)) if len(lo) else 0
+    rounds = max(1, int(np.ceil(np.log2(max_range + 1))) + 1)
+    for _ in range(rounds):
+        active = low < high
+        mid = (low + high) >> 1
+        midv = sorted_vals[np.minimum(mid, len(sorted_vals) - 1)]
+        go_right = active & (midv < queries)
+        low = np.where(go_right, mid + 1, low)
+        high = np.where(active & ~go_right, mid, high)
+    return low
