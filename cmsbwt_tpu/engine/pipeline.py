@@ -33,6 +33,7 @@ class PipelineResult:
     d: int
     sn: int
     h: int
+    counter: np.ndarray | None = None  # counterSmallerThanHead (debug artifact)
 
 
 def compute_bwt_arrays(index: ReferenceIndex, coll: fasta.Collection,
@@ -65,7 +66,7 @@ def compute_bwt_arrays(index: ReferenceIndex, coll: fasta.Collection,
             index, classes, ranked, counter, heads_cnt, tails_cnt, d,
             rle_quirk)
     return PipelineResult(run_len=run_len, run_char=run_char, d=d,
-                          sn=coll.sn, h=heads.h)
+                          sn=coll.sn, h=heads.h, counter=counter)
 
 
 def compute_bwt(cfg: Config) -> dict:
@@ -86,6 +87,12 @@ def compute_bwt(cfg: Config) -> dict:
 
     rle_quirk = cfg.rle and cfg.replicate_reference_rle_quirk
     result = compute_bwt_arrays(index, coll, rle_quirk, timer=timer)
+
+    # small-path debug artifact parity (ref :919-924, written unconditionally
+    # by the small-reference variant)
+    if index.n < cfg.small_ref_threshold and result.counter is not None:
+        with open(outname + ".counterSmallerThanHead_true", "wb") as f:
+            f.write(result.counter.astype("<u8").tobytes())
 
     with timer.phase("write_output"):
         if cfg.rle:
