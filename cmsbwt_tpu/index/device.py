@@ -1,0 +1,226 @@
+"""Device (JAX/XLA) reference-index construction — the libsais replacement
+(SURVEY.md §7.2).
+
+Everything is jit-compiled with static shapes:
+
+* suffix array: Manber–Myers prefix doubling; each round is one
+  ``jax.lax.sort`` over (rank, rank[i+k]) key pairs — XLA's sort maps onto
+  the TPU sort unit; converged rounds are skipped with ``lax.cond``.
+* rank history: kept in a [LEVELS, n] int32 buffer; LCP is computed by
+  binary-lifting window-rank comparisons over that history (no sequential
+  Kasai dependency — fully parallel across SA-adjacent pairs).
+* PSV/NSV: a power-of-two sparse table of LCP window minima; queries are
+  O(log n) gathers (replaces the pointer-chasing rmq_tree, ref rmq_tree.h).
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _dense_rank(vals: jnp.ndarray) -> jnp.ndarray:
+    """Dense rank (ties share rank) of an int array."""
+    n = vals.shape[0]
+    order = jnp.argsort(vals, stable=True)
+    sv = vals[order]
+    changed = jnp.concatenate([jnp.ones(1, jnp.int32),
+                               (sv[1:] != sv[:-1]).astype(jnp.int32)])
+    ranks_sorted = jnp.cumsum(changed) - 1
+    rank = jnp.zeros(n, jnp.int32).at[order].set(ranks_sorted.astype(jnp.int32))
+    return rank
+
+
+def n_levels(n: int) -> int:
+    """Doubling levels: level k covers windows of 2**k; we need 2**k >= n."""
+    lv = 1
+    while (1 << lv) < n:
+        lv += 1
+    return lv + 1  # include level 0
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def suffix_array_device(x: jnp.ndarray, n: int
+                        ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Return (sa int32[n], isa int32[n], history int32[LEVELS, n])."""
+    levels = n_levels(n)
+    rank0 = _dense_rank(x.astype(jnp.int32))
+    history = jnp.zeros((levels, n), jnp.int32).at[0].set(rank0)
+    idx = jnp.arange(n, dtype=jnp.int32)
+
+    def round_k(carry, k):
+        rank, history, done = carry
+        shift = jnp.int32(1) << k
+
+        def do_sort(rank):
+            nxt = jnp.where(idx + shift < n,
+                            rank[jnp.minimum(idx + shift, n - 1)], -1)
+            r_s, n_s, ord_s = jax.lax.sort((rank, nxt, idx), num_keys=2)
+            changed = jnp.concatenate(
+                [jnp.ones(1, jnp.int32),
+                 ((r_s[1:] != r_s[:-1]) | (n_s[1:] != n_s[:-1])
+                  ).astype(jnp.int32)])
+            new_sorted = jnp.cumsum(changed) - 1
+            return jnp.zeros(n, jnp.int32).at[ord_s].set(
+                new_sorted.astype(jnp.int32))
+
+        new_rank = jax.lax.cond(done, lambda r: r, do_sort, rank)
+        history = history.at[k + 1].set(
+            jnp.where(done, history[k], new_rank))
+        done = done | (jnp.max(new_rank) == n - 1)
+        return (new_rank, history, done), None
+
+    done0 = jnp.max(rank0) == n - 1
+    (rank, history, _), _ = jax.lax.scan(
+        round_k, (rank0, history, done0),
+        jnp.arange(levels - 1, dtype=jnp.int32))
+    sa = jnp.zeros(n, jnp.int32).at[rank].set(idx)
+    return sa, rank, history
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def lcp_device(sa: jnp.ndarray, history: jnp.ndarray, n: int) -> jnp.ndarray:
+    """LCP int32[n+1]: LCP[i] = lcp(SA[i-1], SA[i]), LCP[0]=0, LCP[n]=-1."""
+    levels = history.shape[0]
+    a = sa[:-1].astype(jnp.int32)
+    b = sa[1:].astype(jnp.int32)
+    h = jnp.zeros(n - 1, jnp.int32)
+
+    def level(h, k):
+        rk = history[k]
+        va = a + h
+        vb = b + h
+        ok = (va < n) & (vb < n)
+        eq = ok & (rk[jnp.minimum(va, n - 1)] == rk[jnp.minimum(vb, n - 1)])
+        return h + jnp.where(eq, jnp.int32(1) << k, 0), None
+
+    h, _ = jax.lax.scan(level, h,
+                        jnp.arange(levels - 1, -1, -1, dtype=jnp.int32))
+    lcp = jnp.concatenate([jnp.zeros(1, jnp.int32), h,
+                           jnp.full(1, -1, jnp.int32)])
+    return lcp
+
+
+def sparse_table_levels(n: int) -> int:
+    lv = 1
+    while (1 << lv) <= n:
+        lv += 1
+    return lv
+
+
+@functools.partial(jax.jit, static_argnames=("n",))
+def build_lcp_sparse_table(lcp: jnp.ndarray, n: int) -> jnp.ndarray:
+    """jump[k][i] = min(LCP[i .. i+2^k)), padded with INF past n.
+
+    Replaces rmq_tree (ref rmq_tree.h:48-59) for PSV/NSV queries.
+    """
+    INF = jnp.int32(2**31 - 1)
+    levels = sparse_table_levels(n)
+    base = jnp.where(jnp.arange(n) < n, lcp[:n], INF)
+    jump = jnp.zeros((levels, n), jnp.int32).at[0].set(base)
+
+    def level(jump, k):
+        half = jnp.int32(1) << (k - 1)
+        prev = jump[k - 1]
+        idx = jnp.arange(n, dtype=jnp.int32)
+        other = jnp.where(idx + half < n,
+                          prev[jnp.minimum(idx + half, n - 1)], INF)
+        return jump.at[k].set(jnp.minimum(prev, other)), None
+
+    jump, _ = jax.lax.scan(level, jump,
+                           jnp.arange(1, levels, dtype=jnp.int32))
+    return jump
+
+
+def psv_device(jump: jnp.ndarray, i: jnp.ndarray, ub: jnp.ndarray,
+               n: int) -> jnp.ndarray:
+    """Vector PSV: largest j <= i with LCP[j] < ub, else -1
+    (rmq_tree.h:184-205 semantics — the scan includes i itself)."""
+    levels = jump.shape[0]
+    d = jnp.zeros_like(i)
+
+    def level(d, k):
+        w = jnp.int32(1) << k
+        s = i - d - w + 1
+        ok = s >= 0
+        mins = jump[k][jnp.maximum(s, 0)]
+        take = ok & (mins >= ub)
+        return d + jnp.where(take, w, 0), None
+
+    d, _ = jax.lax.scan(level, d,
+                        jnp.arange(levels - 1, -1, -1, dtype=jnp.int32))
+    res = i - d
+    return jnp.where(res >= 0, res, -1)
+
+
+def nsv_device(jump: jnp.ndarray, i: jnp.ndarray, ub: jnp.ndarray,
+               n: int) -> jnp.ndarray:
+    """Vector NSV: smallest j >= i (j < n) with LCP[j] < ub, else -1."""
+    levels = jump.shape[0]
+    d = jnp.zeros_like(i)
+
+    def level(d, k):
+        w = jnp.int32(1) << k
+        s = i + d
+        ok = s + w <= n
+        mins = jump[k][jnp.minimum(s, n - 1)]
+        take = ok & (mins >= ub)
+        return d + jnp.where(take, w, 0), None
+
+    d, _ = jax.lax.scan(level, d,
+                        jnp.arange(levels - 1, -1, -1, dtype=jnp.int32))
+    res = i + d
+    return jnp.where(res < n, res, -1)
+
+
+@dataclass
+class DeviceIndex:
+    """Reference index resident on device (int32 throughout; n < 2^31)."""
+
+    x_padded: jnp.ndarray    # uint8 [n + PAD] (x_padded[n] = 0, rest 0xFF)
+    n: int
+    sa: jnp.ndarray          # int32 [n]
+    isa: jnp.ndarray         # int32 [n]
+    lcp: jnp.ndarray         # int32 [n+1]
+    plcp: jnp.ndarray        # int32 [n]
+    bwt: jnp.ndarray         # uint8 [n]
+    jump: jnp.ndarray        # int32 [levels, n] sparse-table minima
+
+    PAD = 1024  # text overrun pad for windowed compares (mismatching bytes)
+
+
+def build_device_index(x_aug: np.ndarray) -> DeviceIndex:
+    n = len(x_aug)
+    x = jnp.asarray(x_aug)
+    sa, isa, history = suffix_array_device(x, n)
+    lcp = lcp_device(sa, history, n)
+    idx = jnp.arange(n, dtype=jnp.int32)
+    plcp = jnp.maximum(lcp[isa], lcp[jnp.minimum(isa + 1, n)])
+    bwt = jnp.where(sa > 0, x[jnp.maximum(sa - 1, 0)], jnp.uint8(0))
+    jump = build_lcp_sparse_table(lcp, n)
+    pad = jnp.full(DeviceIndex.PAD, 255, jnp.uint8).at[0].set(0)
+    x_padded = jnp.concatenate([x, pad])
+    return DeviceIndex(x_padded=x_padded, n=n, sa=sa, isa=isa, lcp=lcp,
+                       plcp=plcp.astype(jnp.int32), bwt=bwt, jump=jump)
+
+
+def build_reference_index_device(x_aug: np.ndarray):
+    """Device-built index exported to the host ReferenceIndex container."""
+    from .host import ReferenceIndex
+    d = build_device_index(x_aug)
+    n = d.n
+    lcp = np.asarray(d.lcp)
+    return ReferenceIndex(
+        x=x_aug,
+        x_padded=np.concatenate([x_aug, np.zeros(1, np.uint8)]),
+        n=n,
+        sa=np.asarray(d.sa),
+        isa=np.asarray(d.isa),
+        lcp=lcp,
+        plcp=np.asarray(d.plcp),
+        bwt=np.asarray(d.bwt),
+        rank_history=[],
+    )
