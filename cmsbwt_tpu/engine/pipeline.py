@@ -79,14 +79,33 @@ def compute_bwt(cfg: Config) -> dict:
         ref = fasta.load_reference_bytes(ref_path)
         x_aug = fasta.augment_reference(ref)
     sn_limit = fasta.collection_sn_limit(coll_path, cfg.prefix_length)
+    backend = cfg.backend
+    if backend == "auto":
+        backend = "host"
+    dindex = None
     with timer.phase("build_index"):
-        index = _build_index(cfg, x_aug)
+        if backend == "device":
+            from ..index.device import (build_device_index,
+                                        build_reference_index_device)
+            dindex = build_device_index(x_aug)
+            index = _export_device_index(dindex, x_aug)
+        else:
+            index = build_reference_index(x_aug)
     with timer.phase("parse_collection"):
         coll = fasta.parse_collection(coll_path, sn_limit)
         fasta.validate_collection(coll)
 
+    ms = None
+    if backend == "device" and coll.sn > 0:
+        from ..ops.ms_device import ms_scan_device
+        with timer.phase("ms_scan"):
+            dev = ms_scan_device(dindex, coll.sx, lanes=cfg.lanes,
+                                 window=cfg.skip_window)
+        ms = MSArrays(pos=dev.pos, length=dev.length, smaller=dev.smaller,
+                      is_head=dev.is_head)
+
     rle_quirk = cfg.rle and cfg.replicate_reference_rle_quirk
-    result = compute_bwt_arrays(index, coll, rle_quirk, timer=timer)
+    result = compute_bwt_arrays(index, coll, rle_quirk, ms=ms, timer=timer)
 
     # small-path debug artifact parity (ref :919-924, written unconditionally
     # by the small-reference variant)
@@ -110,11 +129,16 @@ def compute_bwt(cfg: Config) -> dict:
             "result": result}
 
 
-def _build_index(cfg: Config, x_aug: np.ndarray) -> ReferenceIndex:
-    backend = cfg.backend
-    if backend == "auto":
-        backend = "host"
-    if backend == "host":
-        return build_reference_index(x_aug)
-    from ..index.device import build_reference_index_device
-    return build_reference_index_device(x_aug)
+def _export_device_index(dindex, x_aug: np.ndarray) -> ReferenceIndex:
+    """Host view of a device-built index (downstream numpy stages)."""
+    return ReferenceIndex(
+        x=x_aug,
+        x_padded=np.concatenate([x_aug, np.zeros(1, np.uint8)]),
+        n=dindex.n,
+        sa=np.asarray(dindex.sa),
+        isa=np.asarray(dindex.isa),
+        lcp=np.asarray(dindex.lcp),
+        plcp=np.asarray(dindex.plcp),
+        bwt=np.asarray(dindex.bwt),
+        rank_history=[],
+    )

@@ -108,3 +108,21 @@ def test_parity_raw_reference_with_dollar(tmp_path, ref_bin):
     compute_bwt(Config(filename=str(lst), outname=str(tmp_path / "ours")))
     assert (tmp_path / "ours.bwt").read_bytes() == \
         (tmp_path / "ref.bwt").read_bytes()
+
+
+def test_parity_device_backend(tmp_path, ref_bin):
+    """Full device path (index + MS scan on JAX) vs the reference binary."""
+    rng = np.random.default_rng(11)
+    ref = random_dna(rng, 900)
+    docs = [mutate(rng, ref, 0.01) for _ in range(5)]
+    lst, _, _ = make_inputs(tmp_path, ref, docs)
+    for rle in (False, True):
+        args = [ref_bin] + (["-r"] if rle else []) + \
+            ["-o", str(tmp_path / "ref"), str(lst)]
+        subprocess.run(args, check=True, capture_output=True)
+        cfg = Config(filename=str(lst), outname=str(tmp_path / "ours"),
+                     rle=rle, backend="device", lanes=8, skip_window=32)
+        compute_bwt(cfg)
+        ext = ".rl_bwt" if rle else ".bwt"
+        assert (tmp_path / ("ours" + ext)).read_bytes() == \
+            (tmp_path / ("ref" + ext)).read_bytes()
