@@ -83,13 +83,14 @@ def compute_bwt(cfg: Config) -> dict:
     if backend == "auto":
         backend = "host"
     dindex = None
+    index = None
     with timer.phase("build_index"):
         if backend == "device":
             from ..index.device import (build_device_index,
                                         build_reference_index_device)
             dindex = build_device_index(x_aug)
             index = _export_device_index(dindex, x_aug)
-        else:
+        elif backend != "dense":
             index = build_reference_index(x_aug)
     with timer.phase("parse_collection"):
         coll = fasta.parse_collection(coll_path, sn_limit)
@@ -103,6 +104,20 @@ def compute_bwt(cfg: Config) -> dict:
                                  window=cfg.skip_window)
         ms = MSArrays(pos=dev.pos, length=dev.length, smaller=dev.smaller,
                       is_head=dev.is_head)
+    elif backend == "dense":
+        # joint suffix sort computes MS and the ref index in one pipeline
+        from ..ops.ms_dense import ms_dense
+        with timer.phase("ms_scan"):
+            dres = ms_dense(x_aug, coll.sx)
+        ms = MSArrays(pos=dres.pos, length=dres.length,
+                      smaller=dres.smaller, is_head=dres.is_head)
+        index = ReferenceIndex(
+            x=x_aug,
+            x_padded=np.concatenate([x_aug, np.zeros(1, np.uint8)]),
+            n=len(x_aug), sa=dres.ref_sa, isa=dres.ref_isa,
+            lcp=np.zeros(len(x_aug) + 1, np.int32),
+            plcp=np.zeros(len(x_aug), np.int32),
+            bwt=dres.ref_bwt, rank_history=[])
 
     rle_quirk = cfg.rle and cfg.replicate_reference_rle_quirk
     result = compute_bwt_arrays(index, coll, rle_quirk, ms=ms, timer=timer)

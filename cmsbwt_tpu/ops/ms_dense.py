@@ -1,0 +1,247 @@
+"""Dense matching statistics: one joint suffix sort of (reference ++
+collection) replaces the per-character scan entirely.
+
+TPU rationale (SURVEY.md §2 parallelism table): XLA:TPU executes sorts and
+scans at memory bandwidth but serializes random gathers (~tens of M elem/s),
+so the reference's pointer-chasing scan (ref ``CMS-BWT-functions.cpp:45-149``)
+is reformulated as dense array passes:
+
+1. Joint int32 string J = map(x) ++ map(SX) where collection separators get
+   distinct ascending values in (1, 3)·(S+1) — exactly the reference's
+   implicit ordering of document separators (doc-rank order, ref :630-645).
+2. Prefix-doubling suffix sort of J (lax.sort rounds, rank history kept).
+3. Adjacent joint LCP via the irreducible-PLCP theorem (Kärkkäinen–Manzini–
+   Puglisi): only positions whose φ-predecessor pair is preceded by
+   different chars need a rank-history lift; the rest follow from a
+   ``cummax`` fill — O(runs · log m) gathers instead of O(m · log m).
+4. For every collection suffix, the nearest reference suffixes above/below
+   in joint order and the segment-min LCP to each (segmented scans). Then
+
+   * ``mslen  = max(A, B)``  (A/B = LCP to nearest ref below/above),
+   * ``smaller = B >= A``    (the reference picks the successor when it
+     shares the maximal prefix, ref :62-76),
+   * ``pos    = succ if B >= A else pred``
+
+   which reproduces ``computeMSFactorAt``'s (pos, len, smaller) exactly —
+   including insertion-point tie rules — because the reference's choice *is*
+   the joint-order neighbor rule.
+
+The ref-only SA/ISA/BWT fall out of the joint order by compaction, so this
+one pipeline subsumes the separate index build for the scan-free path.
+"""
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SEPARATOR
+from ..index.device import n_levels
+
+INT_MIN = -(2**31)
+INT_MAX = 2**31 - 1
+
+
+def build_joint_string(x_aug: np.ndarray, sx: np.ndarray) -> np.ndarray:
+    """int32 joint string with doc-ranked separators (host, O(m))."""
+    s = int((sx == SEPARATOR).sum())
+    scale = np.int32(s + 1)
+    jx = x_aug.astype(np.int32) * scale
+    jsx = sx.astype(np.int32) * scale
+    sep_idx = np.nonzero(sx == SEPARATOR)[0]
+    jsx[sep_idx] = 2 * scale + np.arange(s, dtype=np.int32)
+    return np.concatenate([jx, jsx])
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _joint_sa(j: jnp.ndarray, m: int):
+    from ..index.device import suffix_array_device
+    return suffix_array_device(j, m)
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _phi_and_irreducible(j, sa, m: int):
+    """φ array and irreducible mask (text order)."""
+    r = jnp.arange(m, dtype=jnp.int32)
+    phi = jnp.zeros(m, jnp.int32).at[sa].set(
+        jnp.concatenate([jnp.full(1, m, jnp.int32), sa[:-1]]))
+    # text position i is reducible iff phi[i] valid and J[i-1] == J[phi[i]-1]
+    pi = phi
+    valid = (r > 0) & (pi > 0) & (pi < m)
+    jm1 = j[jnp.clip(r - 1, 0, m - 1)]
+    jp1 = j[jnp.clip(pi - 1, 0, m - 1)]
+    reducible = valid & (jm1 == jp1)
+    return phi, ~reducible
+
+
+def _lift_pairs(history, a, b, m: int):
+    """lcp(a, b) for position pairs via rank-history binary lifting."""
+    levels = history.shape[0]
+    h = jnp.zeros(a.shape, jnp.int32)
+
+    def level(h, k):
+        rk = history[k]
+        va = a + h
+        vb = b + h
+        ok = (va < m) & (vb < m)
+        eq = ok & (rk[jnp.clip(va, 0, m - 1)] == rk[jnp.clip(vb, 0, m - 1)])
+        return h + jnp.where(eq, jnp.int32(1) << k, 0), None
+
+    h, _ = jax.lax.scan(level, h,
+                        jnp.arange(levels - 1, -1, -1, dtype=jnp.int32))
+    return h
+
+
+@functools.partial(jax.jit, static_argnames=("m",))
+def _plcp_fill(irr_pos_plcp, m: int):
+    """PLCP for all text positions from irreducible values.
+
+    irr_pos_plcp: int32[m], plcp value at irreducible positions, INT_MIN
+    elsewhere. PLCP[i] = max_j<=i (val[j] + j) - i.
+    """
+    r = jnp.arange(m, dtype=jnp.int32)
+    best = jax.lax.cummax(jnp.where(irr_pos_plcp > INT_MIN,
+                                    irr_pos_plcp + r, INT_MIN))
+    return best - r
+
+
+def _seg_min_scan(vals, reset, reverse=False):
+    """Segmented running min: at slots where reset is True the accumulation
+    restarts *after* that slot (the reset slot's own output is vals there)."""
+
+    def combine(x, y):
+        fx, vx = x
+        fy, vy = y
+        return fy | fx, jnp.where(fy, vy, jnp.minimum(vx, vy))
+
+    f, v = jax.lax.associative_scan(combine, (reset, vals), reverse=reverse)
+    return v
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n"))
+def _neighbors(sa, ell, m: int, n: int):
+    """For each joint SA slot: (pred ref pos, succ ref pos, A, B)."""
+    is_ref = sa < n
+    idx = jnp.arange(m, dtype=jnp.int32)
+    # nearest ref slot at or below
+    p = jax.lax.cummax(jnp.where(is_ref, idx, -1))
+    # nearest ref slot at or above (reverse cummin; sentinel m+1 = none)
+    q = -jax.lax.cummax(jnp.where(is_ref, -idx,
+                                  -jnp.int32(m + 1))[::-1])[::-1]
+    pred_pos = sa[jnp.clip(p, 0, m - 1)]
+    succ_pos = jnp.where(q < m, sa[jnp.clip(q, 0, m - 1)], -1)
+
+    # A[r] = min ell over (p[r], r]; segments restart after ref slots:
+    # reset at slot r when slot r-1 is ref
+    reset_fwd = jnp.concatenate([jnp.ones(1, bool), is_ref[:-1]])
+    a = _seg_min_scan(ell, reset_fwd)
+    # B[r] = min ell over (r, q]; in reverse orientation use ell shifted
+    # left by one (ell[r+1] = lcp(slot r, slot r+1)) and restart after ref
+    # slots seen from the right
+    ell_s = jnp.concatenate([ell[1:], jnp.zeros(1, jnp.int32)])
+    reset_bwd = jnp.concatenate([is_ref[1:], jnp.ones(1, bool)])
+    b = _seg_min_scan(ell_s, reset_bwd, reverse=True)
+    b = jnp.where(q < m, b, INT_MIN)
+    a = jnp.where(p >= 0, a, INT_MIN)
+    return pred_pos, succ_pos, a, b
+
+
+@dataclass
+class DenseMSResult:
+    pos: np.ndarray
+    length: np.ndarray
+    smaller: np.ndarray
+    is_head: np.ndarray
+    # extracted reference-only index (for the downstream merge engine)
+    ref_sa: np.ndarray
+    ref_isa: np.ndarray
+    ref_bwt: np.ndarray
+    irreducible: int
+    m: int
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n"))
+def _assemble(sa, pred_pos, succ_pos, a, b, m: int, n: int):
+    """Scatter per-slot results into collection text order + extract the
+    reference-only index."""
+    is_ref = sa < n
+    choose_succ = b >= a
+    pos_slot = jnp.where(choose_succ, succ_pos, pred_pos)
+    len_slot = jnp.maximum(a, b)
+    # collection text order
+    t = sa - n
+    coll_mask = ~is_ref
+    sn = m - n
+    pos = jnp.zeros(sn, jnp.int32).at[jnp.where(coll_mask, t, sn)].set(
+        pos_slot, mode="drop")
+    length = jnp.zeros(sn, jnp.int32).at[jnp.where(coll_mask, t, sn)].set(
+        len_slot, mode="drop")
+    smaller = jnp.zeros(sn, bool).at[jnp.where(coll_mask, t, sn)].set(
+        choose_succ, mode="drop")
+    # reference-only extraction
+    ref_rank = jnp.cumsum(is_ref.astype(jnp.int32)) - 1
+    ref_sa = jnp.zeros(n, jnp.int32).at[
+        jnp.where(is_ref, ref_rank, n)].set(sa, mode="drop")
+    ref_isa = jnp.zeros(n, jnp.int32).at[ref_sa].set(
+        jnp.arange(n, dtype=jnp.int32))
+    return pos, length, smaller, ref_sa, ref_isa
+
+
+def ms_dense(x_aug: np.ndarray, sx: np.ndarray) -> DenseMSResult:
+    """Full dense MS computation (single device)."""
+    n = len(x_aug)
+    sn = len(sx)
+    m = n + sn
+    j_host = build_joint_string(x_aug, sx)
+    j = jnp.asarray(j_host)
+    sa, isa, history = _joint_sa(j, m)
+    phi, irr = _phi_and_irreducible(j, sa, m)
+
+    # lift only irreducible positions (host compaction for static shapes)
+    irr_host = np.asarray(irr)
+    irr_idx = np.nonzero(irr_host)[0].astype(np.int32)
+    rho = len(irr_idx)
+    pad = 1 << max(4, int(np.ceil(np.log2(max(rho, 1)))))
+    irr_idx_p = np.full(pad, m, dtype=np.int32)
+    irr_idx_p[:rho] = irr_idx
+    ai = jnp.asarray(irr_idx_p)
+    bi = phi[jnp.clip(ai, 0, m - 1)]
+    bi = jnp.where(ai < m, bi, m)
+    plcp_irr = _lift_pairs(history, ai, bi, m)
+    # scatter to text order, fill reducible
+    base = jnp.full(m, INT_MIN, jnp.int32).at[
+        jnp.clip(ai, 0, m)].set(jnp.where(ai < m, plcp_irr, INT_MIN),
+                                mode="drop")
+    plcp = _plcp_fill(base, m)
+    ell = plcp[sa]                              # adjacent joint LCP, SA order
+    ell = ell.at[0].set(0)
+
+    pred_pos, succ_pos, a, b = _neighbors(sa, ell, m, n)
+    pos, length, smaller, ref_sa, ref_isa = _assemble(
+        sa, pred_pos, succ_pos, a, b, m, n)
+
+    pos = np.asarray(pos).astype(np.int64)
+    length = np.asarray(length).astype(np.int64)
+    smaller = np.asarray(smaller).copy()
+    ref_sa_np = np.asarray(ref_sa)
+    ref_isa_np = np.asarray(ref_isa)
+    ref_bwt = np.where(ref_sa_np > 0, x_aug[np.maximum(ref_sa_np - 1, 0)],
+                       np.uint8(0)).astype(np.uint8)
+
+    # separator pseudo-factors + head flags
+    sep = sx == SEPARATOR
+    pos[sep] = n - 1
+    length[sep] = 0
+    smaller[sep] = False
+    prev = np.empty(sn, dtype=np.int64)
+    prev[0] = -2
+    prev[1:] = pos[:-1]
+    is_head = pos != prev + 1
+    smaller = smaller & is_head
+    return DenseMSResult(pos=pos, length=length, smaller=smaller,
+                         is_head=is_head, ref_sa=ref_sa_np,
+                         ref_isa=ref_isa_np, ref_bwt=ref_bwt,
+                         irreducible=rho, m=m)

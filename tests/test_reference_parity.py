@@ -126,3 +126,21 @@ def test_parity_device_backend(tmp_path, ref_bin):
         ext = ".rl_bwt" if rle else ".bwt"
         assert (tmp_path / ("ours" + ext)).read_bytes() == \
             (tmp_path / ("ref" + ext)).read_bytes()
+
+
+def test_parity_dense_backend(tmp_path, ref_bin):
+    """Dense (joint suffix sort) backend vs the reference binary."""
+    rng = np.random.default_rng(12)
+    ref = random_dna(rng, 700)
+    docs = [mutate(rng, ref, 0.02) for _ in range(4)]
+    lst, _, _ = make_inputs(tmp_path, ref, docs)
+    for rle in (False, True):
+        args = [ref_bin] + (["-r"] if rle else []) + \
+            ["-o", str(tmp_path / "ref"), str(lst)]
+        subprocess.run(args, check=True, capture_output=True)
+        cfg = Config(filename=str(lst), outname=str(tmp_path / "ours"),
+                     rle=rle, backend="dense")
+        compute_bwt(cfg)
+        ext = ".rl_bwt" if rle else ".bwt"
+        assert (tmp_path / ("ours" + ext)).read_bytes() == \
+            (tmp_path / ("ref" + ext)).read_bytes()
