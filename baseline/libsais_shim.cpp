@@ -10,24 +10,50 @@
 
 namespace {
 
+/* Manber–Myers doubling with counting-sort passes: O(n log n), linear
+ * memory. rank values are always in [0, n); the secondary key rank[i+k]
+ * is shifted by +1 so 0 can mean "past the end". */
 template <typename V>
 static void suffix_sort(const V &vals, int32_t *SA, int32_t n) {
-  std::vector<int64_t> rank(n), tmp(n);
-  std::vector<int32_t> sa(n);
-  std::iota(sa.begin(), sa.end(), 0);
-  for (int32_t i = 0; i < n; i++) rank[i] = vals[i];
-  for (int64_t k = 1;; k <<= 1) {
-    auto key = [&](int32_t i) {
-      int64_t second = (i + k < n) ? rank[i + k] : -1;
-      return std::pair<int64_t, int64_t>(rank[i], second);
-    };
-    std::sort(sa.begin(), sa.end(),
-              [&](int32_t a, int32_t b) { return key(a) < key(b); });
-    tmp[sa[0]] = 0;
+  std::vector<int32_t> rank(n), tmp(n), sa(n), cnt;
+  // initial ranks from character values (counting sort over value range)
+  {
+    int64_t lo = vals[0], hi = vals[0];
+    for (int32_t i = 1; i < n; i++) {
+      lo = std::min<int64_t>(lo, vals[i]);
+      hi = std::max<int64_t>(hi, vals[i]);
+    }
+    int64_t range = hi - lo + 1;
+    cnt.assign(range + 1, 0);
+    for (int32_t i = 0; i < n; i++) cnt[vals[i] - lo + 1]++;
+    for (int64_t c = 1; c <= range; c++) cnt[c] += cnt[c - 1];
+    for (int32_t i = 0; i < n; i++) sa[cnt[vals[i] - lo]++] = i;
+    rank[sa[0]] = 0;
     for (int32_t i = 1; i < n; i++)
-      tmp[sa[i]] = tmp[sa[i - 1]] + (key(sa[i - 1]) < key(sa[i]) ? 1 : 0);
+      rank[sa[i]] = rank[sa[i - 1]] + (vals[sa[i]] != vals[sa[i - 1]]);
+  }
+  std::vector<int32_t> sa2(n);
+  for (int32_t k = 1; rank[sa[n - 1]] != n - 1; k <<= 1) {
+    // sort by secondary key rank2 = (i+k < n) ? rank[i+k]+1 : 0 via
+    // counting sort, then stable counting sort by primary rank
+    cnt.assign(n + 2, 0);
+    auto rank2 = [&](int32_t i) {
+      return (i + k < n) ? rank[i + k] + 1 : 0;
+    };
+    for (int32_t i = 0; i < n; i++) cnt[rank2(i) + 1]++;
+    for (int32_t c = 1; c <= n + 1; c++) cnt[c] += cnt[c - 1];
+    for (int32_t i = 0; i < n; i++) sa2[cnt[rank2(i)]++] = i;
+    cnt.assign(n + 1, 0);
+    for (int32_t i = 0; i < n; i++) cnt[rank[i] + 1]++;
+    for (int32_t c = 1; c <= n; c++) cnt[c] += cnt[c - 1];
+    for (int32_t i = 0; i < n; i++) sa[cnt[rank[sa2[i]]]++] = sa2[i];
+    tmp[sa[0]] = 0;
+    for (int32_t i = 1; i < n; i++) {
+      bool neq = rank[sa[i]] != rank[sa[i - 1]] ||
+                 rank2(sa[i]) != rank2(sa[i - 1]);
+      tmp[sa[i]] = tmp[sa[i - 1]] + neq;
+    }
     rank.swap(tmp);
-    if (rank[sa[n - 1]] == n - 1) break;
   }
   std::copy(sa.begin(), sa.end(), SA);
 }

@@ -1,0 +1,112 @@
+"""Driver benchmark: end-to-end CMS-BWT on synthetic pangenome data.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "Mchars/s", "vs_baseline": N}
+
+value      = end-to-end collection throughput (parse+MS+merge+write) on the
+             real TPU chip, best backend.
+vs_baseline= our_throughput / reference_binary_throughput on the identical
+             workload (reference compiled from /root/reference against the
+             local libsais-API shim; >1.0 means faster than the reference).
+
+Workload (override via env):
+  BENCH_REF_MBP   reference megabases          (default 2)
+  BENCH_DOCS      number of mutated copies     (default 10)
+  BENCH_SNP       SNP rate                     (default 0.001)
+  BENCH_BACKEND   dense | device | host        (default dense)
+"""
+import json
+import os
+import pathlib
+import subprocess
+import sys
+import tempfile
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+REPO = pathlib.Path(__file__).resolve().parent
+
+
+def wrap_fasta(b: bytes, width=60) -> bytes:
+    return b"\n".join(b[i:i + width] for i in range(0, len(b), width))
+
+
+def make_workload(tmp: pathlib.Path, ref_mbp: float, ndocs: int, snp: float):
+    rng = np.random.default_rng(42)
+    alphabet = np.frombuffer(b"ACGT", dtype=np.uint8)
+    n = int(ref_mbp * 1e6)
+    ref = rng.choice(alphabet, size=n)
+    (tmp / "ref.fa").write_bytes(b">ref\n" + wrap_fasta(ref.tobytes()) + b"\n")
+    with open(tmp / "coll.fa", "wb") as f:
+        for i in range(ndocs):
+            arr = ref.copy()
+            k = max(1, int(n * snp))
+            idx = rng.choice(n, k, replace=False)
+            arr[idx] = rng.choice(alphabet, size=k)
+            f.write(b">doc%d\n" % i + wrap_fasta(arr.tobytes()) + b"\n")
+    lst = tmp / "input.txt"
+    lst.write_bytes(str(tmp / "ref.fa").encode() + b"\n" +
+                    str(tmp / "coll.fa").encode() + b"\n")
+    return lst
+
+
+def run_reference(tmp: pathlib.Path, lst: pathlib.Path) -> float:
+    ref_bin = REPO / "baseline" / "cms-bwt-ref"
+    if not ref_bin.exists():
+        r = subprocess.run([str(REPO / "baseline" / "build.sh")],
+                           capture_output=True)
+        if r.returncode != 0:
+            return -1.0
+    t0 = time.time()
+    subprocess.run([str(ref_bin), "-o", str(tmp / "refout"), str(lst)],
+                   check=True, capture_output=True)
+    return time.time() - t0
+
+
+def main():
+    ref_mbp = float(os.environ.get("BENCH_REF_MBP", "2"))
+    ndocs = int(os.environ.get("BENCH_DOCS", "10"))
+    snp = float(os.environ.get("BENCH_SNP", "0.001"))
+    backend = os.environ.get("BENCH_BACKEND", "dense")
+
+    tmp = pathlib.Path(tempfile.mkdtemp(prefix="cmsbench_"))
+    lst = make_workload(tmp, ref_mbp, ndocs, snp)
+
+    from cmsbwt_tpu.config import Config
+    from cmsbwt_tpu.engine.pipeline import compute_bwt
+
+    cfg = Config(filename=str(lst), outname=str(tmp / "ours"),
+                 backend=backend)
+    # warm-up run compiles all kernels (cached for the timed run)
+    compute_bwt(cfg)
+    t0 = time.time()
+    out = compute_bwt(cfg)
+    ours_s = time.time() - t0
+    sn = out["result"].sn
+    ours_tput = sn / 1e6 / ours_s
+
+    ref_s = run_reference(tmp, lst)
+    equal = None
+    if ref_s > 0:
+        equal = (tmp / "ours.bwt").read_bytes() == \
+            (tmp / "refout.bwt").read_bytes()
+        vs = (sn / 1e6 / ref_s) and (ours_tput / (sn / 1e6 / ref_s))
+    else:
+        vs = -1.0
+
+    line = {
+        "metric": "cms_bwt_end_to_end_throughput",
+        "value": round(ours_tput, 3),
+        "unit": "Mchars/s",
+        "vs_baseline": round(vs, 4),
+    }
+    print(json.dumps(line))
+    print(f"# sn={sn} ours={ours_s:.2f}s ref={ref_s:.2f}s "
+          f"byte_equal={equal} backend={backend}", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

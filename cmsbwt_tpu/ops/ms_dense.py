@@ -43,17 +43,30 @@ from ..index.device import n_levels
 
 INT_MIN = -(2**31)
 INT_MAX = 2**31 - 1
+PAD_VAL = np.int32(2**30)  # sorts above every mapped char; pad suffixes
+                           # cluster at the top of the joint SA (see below)
 
 
-def build_joint_string(x_aug: np.ndarray, sx: np.ndarray) -> np.ndarray:
-    """int32 joint string with doc-ranked separators (host, O(m))."""
+def build_joint_string(x_aug: np.ndarray, sx: np.ndarray,
+                       n_pad: int, sn_pad: int) -> np.ndarray:
+    """int32 joint string with doc-ranked separators, padded to stable
+    bucket sizes (host, O(m)).
+
+    Layout: [x (n) | pad | sx (sn) | pad]. Pad slots hold PAD_VAL: every
+    pad suffix starts with the unique maximal symbol so the pad block is a
+    contiguous range at the very top of the joint SA — above every real
+    suffix and below nothing that matters — and real-suffix comparisons
+    terminate at sentinels/separators before ever reading a pad char.
+    """
     s = int((sx == SEPARATOR).sum())
     scale = np.int32(s + 1)
-    jx = x_aug.astype(np.int32) * scale
+    j = np.full(n_pad + sn_pad, PAD_VAL, dtype=np.int32)
+    j[: len(x_aug)] = x_aug.astype(np.int32) * scale
     jsx = sx.astype(np.int32) * scale
     sep_idx = np.nonzero(sx == SEPARATOR)[0]
     jsx[sep_idx] = 2 * scale + np.arange(s, dtype=np.int32)
-    return np.concatenate([jx, jsx])
+    j[n_pad: n_pad + len(sx)] = jsx
+    return j
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
@@ -121,9 +134,13 @@ def _seg_min_scan(vals, reset, reverse=False):
     return v
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n"))
-def _neighbors(sa, ell, m: int, n: int):
-    """For each joint SA slot: (pred ref pos, succ ref pos, A, B)."""
+@functools.partial(jax.jit, static_argnames=("m",))
+def _neighbors(sa, ell, n, m: int):
+    """For each joint SA slot: (pred ref pos, succ ref pos, A, B).
+
+    ``n`` is a traced scalar (true reference length) so bucket-padded
+    shapes share one compilation.
+    """
     is_ref = sa < n
     idx = jnp.arange(m, dtype=jnp.int32)
     # nearest ref slot at or below
@@ -163,40 +180,48 @@ class DenseMSResult:
     m: int
 
 
-@functools.partial(jax.jit, static_argnames=("m", "n"))
-def _assemble(sa, pred_pos, succ_pos, a, b, m: int, n: int):
+@functools.partial(jax.jit, static_argnames=("m", "n_pad", "sn_pad"))
+def _assemble(sa, pred_pos, succ_pos, a, b, n, sn, m: int, n_pad: int,
+              sn_pad: int):
     """Scatter per-slot results into collection text order + extract the
-    reference-only index."""
+    reference-only index (bucket-padded output shapes; sliced on host)."""
     is_ref = sa < n
+    is_coll = (sa >= n_pad) & (sa < n_pad + sn)
     choose_succ = b >= a
     pos_slot = jnp.where(choose_succ, succ_pos, pred_pos)
     len_slot = jnp.maximum(a, b)
     # collection text order
-    t = sa - n
-    coll_mask = ~is_ref
-    sn = m - n
-    pos = jnp.zeros(sn, jnp.int32).at[jnp.where(coll_mask, t, sn)].set(
-        pos_slot, mode="drop")
-    length = jnp.zeros(sn, jnp.int32).at[jnp.where(coll_mask, t, sn)].set(
-        len_slot, mode="drop")
-    smaller = jnp.zeros(sn, bool).at[jnp.where(coll_mask, t, sn)].set(
-        choose_succ, mode="drop")
+    t = sa - n_pad
+    pos = jnp.zeros(sn_pad, jnp.int32).at[
+        jnp.where(is_coll, t, sn_pad)].set(pos_slot, mode="drop")
+    length = jnp.zeros(sn_pad, jnp.int32).at[
+        jnp.where(is_coll, t, sn_pad)].set(len_slot, mode="drop")
+    smaller = jnp.zeros(sn_pad, bool).at[
+        jnp.where(is_coll, t, sn_pad)].set(choose_succ, mode="drop")
     # reference-only extraction
     ref_rank = jnp.cumsum(is_ref.astype(jnp.int32)) - 1
-    ref_sa = jnp.zeros(n, jnp.int32).at[
-        jnp.where(is_ref, ref_rank, n)].set(sa, mode="drop")
-    ref_isa = jnp.zeros(n, jnp.int32).at[ref_sa].set(
-        jnp.arange(n, dtype=jnp.int32))
+    ref_sa = jnp.zeros(n_pad, jnp.int32).at[
+        jnp.where(is_ref, ref_rank, n_pad)].set(sa, mode="drop")
+    ridx = jnp.arange(n_pad, dtype=jnp.int32)
+    ref_isa = jnp.zeros(n_pad, jnp.int32).at[
+        jnp.where(ridx < n, ref_sa, n_pad)].set(ridx, mode="drop")
     return pos, length, smaller, ref_sa, ref_isa
 
 
-def ms_dense(x_aug: np.ndarray, sx: np.ndarray) -> DenseMSResult:
+def ms_dense(x_aug: np.ndarray, sx: np.ndarray,
+             bucketed: bool = True) -> DenseMSResult:
     """Full dense MS computation (single device)."""
+    from ..utils.jaxcache import bucket_size, enable_compilation_cache
+    enable_compilation_cache()
     n = len(x_aug)
     sn = len(sx)
-    m = n + sn
-    j_host = build_joint_string(x_aug, sx)
+    n_pad = bucket_size(n) if bucketed else n
+    sn_pad = bucket_size(sn) if bucketed else sn
+    m = n_pad + sn_pad
+    j_host = build_joint_string(x_aug, sx, n_pad, sn_pad)
     j = jnp.asarray(j_host)
+    n_t = jnp.int32(n)
+    sn_t = jnp.int32(sn)
     sa, isa, history = _joint_sa(j, m)
     phi, irr = _phi_and_irreducible(j, sa, m)
 
@@ -219,15 +244,15 @@ def ms_dense(x_aug: np.ndarray, sx: np.ndarray) -> DenseMSResult:
     ell = plcp[sa]                              # adjacent joint LCP, SA order
     ell = ell.at[0].set(0)
 
-    pred_pos, succ_pos, a, b = _neighbors(sa, ell, m, n)
+    pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
     pos, length, smaller, ref_sa, ref_isa = _assemble(
-        sa, pred_pos, succ_pos, a, b, m, n)
+        sa, pred_pos, succ_pos, a, b, n_t, sn_t, m, n_pad, sn_pad)
 
-    pos = np.asarray(pos).astype(np.int64)
-    length = np.asarray(length).astype(np.int64)
-    smaller = np.asarray(smaller).copy()
-    ref_sa_np = np.asarray(ref_sa)
-    ref_isa_np = np.asarray(ref_isa)
+    pos = np.asarray(pos)[:sn].astype(np.int64)
+    length = np.asarray(length)[:sn].astype(np.int64)
+    smaller = np.asarray(smaller)[:sn].copy()
+    ref_sa_np = np.asarray(ref_sa)[:n]
+    ref_isa_np = np.asarray(ref_isa)[:n]
     ref_bwt = np.where(ref_sa_np > 0, x_aug[np.maximum(ref_sa_np - 1, 0)],
                        np.uint8(0)).astype(np.uint8)
 
