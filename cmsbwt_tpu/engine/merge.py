@@ -40,112 +40,114 @@ def build_runs(index: ReferenceIndex, classes: ClassArrays,
                ranked: RankedHeads, counter: np.ndarray,
                heads_cnt: np.ndarray, tails_cnt: np.ndarray,
                d: int, rle_quirk: bool) -> tuple[np.ndarray, np.ndarray]:
-    """Assemble the output as (run_len int64[], run_char uint8[]).
+    """Assemble the output as (run_len int64[], run_char uint8[]) — fully
+    vectorized (no per-bucket loop).
+
+    Run layout per SA rank i in [1, n):
+
+    * tails-only bucket: one run (tails, refBWT[i]) — zero-length filtered;
+    * mixed bucket, per class in map order: per slot [counter run, head
+      char], then one residual-style run — per class with ``rle_quirk``
+      (the reference RLE writer's phantom residual, ref :1069-1078, length
+      = remaining un-emitted entries, not consumed), or only after the last
+      class without (the plain writer's single residual, ref :986-994).
 
     With ``rle_quirk`` the per-class phantom residual runs of the reference
     RLE writer are inserted (they add bytes, exactly as the reference does).
     """
+    from .ranking import class_sa_order
+
     n = index.n
-    sa = index.sa
+    sa = index.sa.astype(np.int64)
     ref_bwt = index.bwt
-    run_len: list[np.ndarray] = []
-    run_char: list[np.ndarray] = []
 
-    # prelude: head BWT chars of the D-1 separator suffixes
-    prelude = ranked.bwt_heads[: d - 1]
-    run_len.append(np.ones(d - 1, dtype=np.int64))
-    run_char.append(prelude)
+    sa_ord = class_sa_order(index, classes)
+    ecls = sa_ord[1:]                         # emission order, pseudo dropped
+    nec = len(ecls)
+    m_c = classes.size[ecls].astype(np.int64)
+    base_c = ranked.slot_base[ecls].astype(np.int64)
+    bucket_rank = index.isa[classes.pos[ecls]].astype(np.int64)
 
-    # class ranges per position (classes.pos is sorted)
-    # For each SA rank i in [1, n): bucket at pos sa[i].
-    pos_order = sa[1:].astype(np.int64)
-    hc = heads_cnt[pos_order]
-    tc = tails_cnt[pos_order]
-    bwt_c = ref_bwt[1:]
+    # group emission classes into buckets (bucket_rank ascending)
+    new_b = np.ones(nec, dtype=bool)
+    new_b[1:] = bucket_rank[1:] != bucket_rank[:-1]
+    bucket_id = np.cumsum(new_b) - 1
+    nb = int(bucket_id[-1]) + 1 if nec else 0
+    b_rank = bucket_rank[new_b]               # SA rank per mixed bucket
+    b_char = ref_bwt[b_rank]
+    hb = np.bincount(bucket_id, weights=m_c, minlength=nb).astype(np.int64)
+    ncls_b = np.bincount(bucket_id, minlength=nb).astype(np.int64)
+    b_total = hb + tails_cnt[sa[b_rank]]
 
-    simple = hc == 0
-    # Pre-compute per-mixed-bucket class ranges
-    mixed_idx = np.nonzero(~simple)[0]
+    # per-SA-rank run counts and offsets (prelude occupies [0, d-1))
+    runs_per_rank = np.ones(n - 1, dtype=np.int64)
+    runs_mixed = 2 * hb + (ncls_b if rle_quirk else 1)
+    runs_per_rank[b_rank - 1] = runs_mixed
+    offsets = np.empty(n - 1, dtype=np.int64)
+    np.cumsum(runs_per_rank[:-1], out=offsets[1:])
+    offsets[0] = 0
+    offsets += d - 1
+    total_runs = int(d - 1 + runs_per_rank.sum())
 
-    # iterate buckets in SA-rank order, vectorized per bucket for the mixed
-    # ones (mixed buckets are bounded by the number of distinct head
-    # positions, typically << n)
-    # Build a run segment per bucket and concatenate in order. To stay
-    # vectorized we build per-bucket segments only for mixed buckets and
-    # fill simple buckets in bulk.
-    seg_len: list[np.ndarray] = []
-    seg_char: list[np.ndarray] = []
-    # strategy: emit buckets in SA order; collect contiguous runs of simple
-    # buckets between mixed ones in single vectorized chunks
-    prev = 0
-    head_counter = d - 1
-    cls_pos = classes.pos
-    for mi in mixed_idx:
-        if mi > prev:
-            seg_len.append(tc[prev:mi])
-            seg_char.append(bwt_c[prev:mi])
-        p = int(pos_order[mi])
-        c_lo = int(np.searchsorted(cls_pos, p, side="left"))
-        c_hi = int(np.searchsorted(cls_pos, p, side="right"))
-        slo = int(ranked.slot_base[c_lo])
-        shi = int(ranked.slot_base[c_hi])
-        nslots = shi - slo
-        cchar = bwt_c[mi]
-        if not rle_quirk:
-            # [counter, headchar] per slot + one residual
-            l2 = np.empty(2 * nslots + 1, dtype=np.int64)
-            ch2 = np.empty(2 * nslots + 1, dtype=np.uint8)
-            l2[0:2 * nslots:2] = counter[slo:shi]
-            ch2[0:2 * nslots:2] = cchar
-            l2[1:2 * nslots:2] = 1
-            ch2[1:2 * nslots:2] = ranked.bwt_heads[
-                head_counter: head_counter + nslots]
-            emitted = int(counter[slo:shi].sum()) + nslots
-            total = int(hc[mi] + tc[mi])
-            l2[2 * nslots] = total - emitted
-            ch2[2 * nslots] = cchar
+    run_len = np.zeros(total_runs, dtype=np.int64)
+    run_char = np.zeros(total_runs, dtype=np.uint8)
+
+    # prelude: head BWT chars of the D-1 separator suffixes (ref :946)
+    run_len[: d - 1] = 1
+    run_char[: d - 1] = ranked.bwt_heads[: d - 1]
+
+    # simple buckets: one tails run each
+    simple = np.ones(n - 1, dtype=bool)
+    simple[b_rank - 1] = False
+    s_off = offsets[simple]
+    run_len[s_off] = tails_cnt[sa[1:][simple]]
+    run_char[s_off] = ref_bwt[1:][simple]
+
+    if nec:
+        # class-level bookkeeping
+        first_of_b = np.nonzero(new_b)[0]
+        k_c = np.arange(nec) - np.repeat(first_of_b, ncls_b)  # class idx in bucket
+        ex_mc = np.concatenate([[0], np.cumsum(m_c)[:-1]])
+        mc_before = ex_mc - np.repeat(ex_mc[new_b], ncls_b)
+        cls_start = offsets[bucket_rank - 1] + 2 * mc_before + \
+            (k_c if rle_quirk else 0)
+
+        # slot-level expansion (emission order)
+        tot_slots = int(m_c.sum())
+        cls_of_slot = np.repeat(np.arange(nec), m_c)
+        within = np.arange(tot_slots) - np.repeat(ex_mc, m_c)
+        slot_text = base_c[cls_of_slot] + within
+        ridx_tail = cls_start[cls_of_slot] + 2 * within
+        run_len[ridx_tail] = counter[slot_text]
+        run_char[ridx_tail] = b_char[bucket_id[cls_of_slot]]
+        run_len[ridx_tail + 1] = 1
+        run_char[ridx_tail + 1] = ranked.bwt_heads[
+            d - 1: d - 1 + tot_slots]
+
+        # per-class counter sums and residuals
+        csum_c = np.bincount(cls_of_slot, weights=counter[slot_text],
+                             minlength=nec).astype(np.int64)
+        inc = csum_c + m_c
+        cum_inc = np.cumsum(inc)
+        cum_inc_b = cum_inc - np.repeat(
+            np.concatenate([[0], np.cumsum(inc)[:-1]])[new_b], ncls_b)
+        if rle_quirk:
+            # phantom residual after *every* class (ref :1069-1078): length
+            # = not-yet-emitted count, not consumed
+            rem = b_total[bucket_id] - cum_inc_b
+            ridx_rem = cls_start + 2 * m_c
+            run_len[ridx_rem] = rem
+            run_char[ridx_rem] = b_char[bucket_id]
         else:
-            # quirk: after every class, a phantom run of the not-yet-emitted
-            # count (which is not consumed)
-            parts_l = []
-            parts_c = []
-            emitted = 0
-            total = int(hc[mi] + tc[mi])
-            hctr = head_counter
-            for c in range(c_lo, c_hi):
-                a = int(ranked.slot_base[c])
-                bnd = int(ranked.slot_base[c + 1])
-                m = bnd - a
-                l3 = np.empty(2 * m, dtype=np.int64)
-                c3 = np.empty(2 * m, dtype=np.uint8)
-                l3[0::2] = counter[a:bnd]
-                c3[0::2] = cchar
-                l3[1::2] = 1
-                c3[1::2] = ranked.bwt_heads[hctr: hctr + m]
-                hctr += m
-                emitted += int(counter[a:bnd].sum()) + m
-                parts_l.append(l3)
-                parts_c.append(c3)
-                rem = total - emitted
-                if rem != 0:
-                    parts_l.append(np.asarray([rem], dtype=np.int64))
-                    parts_c.append(np.asarray([cchar], dtype=np.uint8))
-            l2 = np.concatenate(parts_l) if parts_l else np.zeros(0, np.int64)
-            ch2 = np.concatenate(parts_c) if parts_c else np.zeros(0, np.uint8)
-        seg_len.append(l2)
-        seg_char.append(ch2)
-        head_counter += nslots
-        prev = mi + 1
-    if prev < len(pos_order):
-        seg_len.append(tc[prev:])
-        seg_char.append(bwt_c[prev:])
+            # one true residual per bucket (ref :986-994)
+            last_of_b = np.nonzero(new_b)[0] + ncls_b - 1
+            rem_b = b_total - cum_inc_b[last_of_b]
+            ridx_rem = offsets[b_rank - 1] + 2 * hb
+            run_len[ridx_rem] = rem_b
+            run_char[ridx_rem] = b_char
 
-    run_len.extend(seg_len)
-    run_char.extend(seg_char)
-    rl = np.concatenate(run_len) if run_len else np.zeros(0, np.int64)
-    rc = np.concatenate(run_char) if run_char else np.zeros(0, np.uint8)
-    keep = rl > 0
-    return rl[keep], rc[keep]
+    keep = run_len > 0
+    return run_len[keep], run_char[keep]
 
 
 def runs_to_plain(run_len: np.ndarray, run_char: np.ndarray) -> bytes:

@@ -52,6 +52,22 @@ def compute_bwt_arrays(index: ReferenceIndex, coll: fasta.Collection,
             ms = ms_scan_collection(index, coll.sx, coll.sep_positions)
     with timer.phase("head_extract"):
         heads = heads_mod.extract_heads(index, ms, coll.sx)
+    with timer.phase("bucket_counts"):
+        heads_cnt, tails_cnt = merge_mod.bucket_counts(index, ms.pos,
+                                                       ms.is_head)
+    return merge_from_heads(index, heads, heads_cnt, tails_cnt, d,
+                            coll.sn, rle_quirk, timer)
+
+
+def merge_from_heads(index: ReferenceIndex, heads, heads_cnt: np.ndarray,
+                     tails_cnt: np.ndarray, d: int, sn: int,
+                     rle_quirk: bool,
+                     timer: PhaseTimer | None = None) -> PipelineResult:
+    """Downstream engine: head fixup -> grouping -> ranking -> tail
+    positioning -> run assembly. Input-agnostic (host scan, device lane
+    kernel, or dense joint-sort all produce the same head records)."""
+    timer = timer or PhaseTimer()
+    with timer.phase("head_fixup"):
         heads_mod.fixup_heads(index, heads)
     with timer.phase("head_group"):
         classes = heads_mod.build_classes(index, heads)
@@ -60,13 +76,11 @@ def compute_bwt_arrays(index: ReferenceIndex, coll: fasta.Collection,
     with timer.phase("tail_position"):
         counter = tails_mod.position_tails(index, classes, ranked)
     with timer.phase("merge"):
-        heads_cnt, tails_cnt = merge_mod.bucket_counts(index, ms.pos,
-                                                       ms.is_head)
         run_len, run_char = merge_mod.build_runs(
             index, classes, ranked, counter, heads_cnt, tails_cnt, d,
             rle_quirk)
     return PipelineResult(run_len=run_len, run_char=run_char, d=d,
-                          sn=coll.sn, h=heads.h, counter=counter)
+                          sn=sn, h=heads.h, counter=counter)
 
 
 def compute_bwt(cfg: Config) -> dict:
@@ -105,12 +119,12 @@ def compute_bwt(cfg: Config) -> dict:
         ms = MSArrays(pos=dev.pos, length=dev.length, smaller=dev.smaller,
                       is_head=dev.is_head)
     elif backend == "dense":
-        # joint suffix sort computes MS and the ref index in one pipeline
-        from ..ops.ms_dense import ms_dense
+        # joint suffix sort computes MS, head records, and the ref index in
+        # one device pipeline; only O(n + H) data reaches the host
+        from ..ops.ms_dense import ms_dense_heads
+        from .heads import HeadArrays
         with timer.phase("ms_scan"):
-            dres = ms_dense(x_aug, coll.sx)
-        ms = MSArrays(pos=dres.pos, length=dres.length,
-                      smaller=dres.smaller, is_head=dres.is_head)
+            dres = ms_dense_heads(x_aug, coll.sx)
         index = ReferenceIndex(
             x=x_aug,
             x_padded=np.concatenate([x_aug, np.zeros(1, np.uint8)]),
@@ -118,10 +132,26 @@ def compute_bwt(cfg: Config) -> dict:
             lcp=np.zeros(len(x_aug) + 1, np.int32),
             plcp=np.zeros(len(x_aug), np.int32),
             bwt=dres.ref_bwt, rank_history=[])
+        heads = HeadArrays(
+            t=dres.head_t, pos=dres.head_pos, length=dres.head_len,
+            smaller=dres.head_smaller, char=dres.head_char,
+            to_next=np.zeros(dres.h, np.int64),
+            isa_next=np.zeros(dres.h, np.int64),
+            succ=np.zeros(dres.h, np.int64), h=dres.h)
+        result = merge_from_heads(index, heads, dres.heads_cnt,
+                                  dres.tails_cnt, coll.d, coll.sn,
+                                  rle_quirk=cfg.rle and
+                                  cfg.replicate_reference_rle_quirk,
+                                  timer=timer)
+        return _write_outputs(cfg, outname, index, result, timer)
 
     rle_quirk = cfg.rle and cfg.replicate_reference_rle_quirk
     result = compute_bwt_arrays(index, coll, rle_quirk, ms=ms, timer=timer)
+    return _write_outputs(cfg, outname, index, result, timer)
 
+
+def _write_outputs(cfg: Config, outname: str, index: ReferenceIndex,
+                   result: PipelineResult, timer: PhaseTimer) -> dict:
     # small-path debug artifact parity (ref :919-924, written unconditionally
     # by the small-reference variant)
     if index.n < cfg.small_ref_threshold and result.counter is not None:

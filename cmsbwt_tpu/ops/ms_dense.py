@@ -208,6 +208,53 @@ def _assemble(sa, pred_pos, succ_pos, a, b, n, sn, m: int, n_pad: int,
     return pos, length, smaller, ref_sa, ref_isa
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
+def _postprocess(j, pos, length, smaller, n, sn, scale,
+                 n_pad: int, sn_pad: int):
+    """Device-side separator fixup, head detection, and bucket counts.
+
+    Avoids shipping O(sn) arrays to the host (the device link runs at tens
+    of MB/s): only O(n + H) data leaves the chip. Returns per-position
+    (pos, length, smaller, is_head, head_rank) plus per-reference-position
+    head/tail counts and the head count.
+    """
+    jc = jax.lax.dynamic_slice(j, (n_pad,), (sn_pad,))
+    tidx = jnp.arange(sn_pad, dtype=jnp.int32)
+    valid = tidx < sn
+    sep = valid & (jc >= 2 * scale) & (jc < 3 * scale)
+    pos = jnp.where(sep, n - 1, pos)
+    length = jnp.where(sep, 0, length)
+    prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), pos[:-1]])
+    is_head = valid & (pos != prev + 1)
+    smaller = smaller & is_head
+    heads_cnt = jnp.zeros(n_pad, jnp.int32).at[
+        jnp.where(is_head, pos, n_pad)].add(1, mode="drop")
+    tails_cnt = jnp.zeros(n_pad, jnp.int32).at[
+        jnp.where(valid & ~is_head, pos, n_pad)].add(1, mode="drop")
+    head_rank = jnp.cumsum(is_head.astype(jnp.int32)) - 1
+    h = head_rank[-1] + 1
+    # head BWT char: previous collection char, cyclic (extract_heads rule);
+    # recover the byte from the joint mapping (c*scale, separators -> 2)
+    prev_j = jc[jnp.where(tidx > 0, tidx - 1, sn - 1)]
+    char = (prev_j // scale).astype(jnp.uint8)
+    return pos, length, smaller, is_head, head_rank, heads_cnt, tails_cnt, \
+        h, char
+
+
+@functools.partial(jax.jit, static_argnames=("sn_pad", "h_pad"))
+def _compact_heads(pos, length, smaller, is_head, head_rank, char,
+                   sn_pad: int, h_pad: int):
+    """Order-preserving compaction of head records into h_pad slots."""
+    tidx = jnp.arange(sn_pad, dtype=jnp.int32)
+    dst = jnp.where(is_head, head_rank, h_pad)
+    out_t = jnp.zeros(h_pad, jnp.int32).at[dst].set(tidx, mode="drop")
+    out_pos = jnp.zeros(h_pad, jnp.int32).at[dst].set(pos, mode="drop")
+    out_len = jnp.zeros(h_pad, jnp.int32).at[dst].set(length, mode="drop")
+    out_sml = jnp.zeros(h_pad, bool).at[dst].set(smaller, mode="drop")
+    out_chr = jnp.zeros(h_pad, jnp.uint8).at[dst].set(char, mode="drop")
+    return out_t, out_pos, out_len, out_sml, out_chr
+
+
 def ms_dense(x_aug: np.ndarray, sx: np.ndarray,
              bucketed: bool = True) -> DenseMSResult:
     """Full dense MS computation (single device)."""
@@ -270,3 +317,84 @@ def ms_dense(x_aug: np.ndarray, sx: np.ndarray,
                          is_head=is_head, ref_sa=ref_sa_np,
                          ref_isa=ref_isa_np, ref_bwt=ref_bwt,
                          irreducible=rho, m=m)
+
+
+@dataclass
+class DenseHeadsResult:
+    """Head records + bucket counts + reference index — everything the
+    downstream merge engine needs, with only O(n + H) host transfer."""
+
+    head_t: np.ndarray
+    head_pos: np.ndarray
+    head_len: np.ndarray
+    head_smaller: np.ndarray
+    head_char: np.ndarray
+    heads_cnt: np.ndarray
+    tails_cnt: np.ndarray
+    ref_sa: np.ndarray
+    ref_isa: np.ndarray
+    ref_bwt: np.ndarray
+    h: int
+    sn: int
+    irreducible: int
+
+
+def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
+                   bucketed: bool = True) -> DenseHeadsResult:
+    """Dense MS with device-side head extraction (the production path)."""
+    from ..utils.jaxcache import bucket_size, enable_compilation_cache
+    enable_compilation_cache()
+    n = len(x_aug)
+    sn = len(sx)
+    n_pad = bucket_size(n) if bucketed else n
+    sn_pad = bucket_size(sn) if bucketed else sn
+    m = n_pad + sn_pad
+    s = int((sx == SEPARATOR).sum())
+    j = jnp.asarray(build_joint_string(x_aug, sx, n_pad, sn_pad))
+    n_t = jnp.int32(n)
+    sn_t = jnp.int32(sn)
+    scale = jnp.int32(s + 1)
+
+    sa, isa, history = _joint_sa(j, m)
+    phi, irr = _phi_and_irreducible(j, sa, m)
+    irr_idx = np.nonzero(np.asarray(irr))[0].astype(np.int32)
+    rho = len(irr_idx)
+    pad = 1 << max(4, int(np.ceil(np.log2(max(rho, 1)))))
+    irr_idx_p = np.full(pad, m, dtype=np.int32)
+    irr_idx_p[:rho] = irr_idx
+    ai = jnp.asarray(irr_idx_p)
+    bi = jnp.where(ai < m, phi[jnp.clip(ai, 0, m - 1)], m)
+    plcp_irr = _lift_pairs(history, ai, bi, m)
+    base = jnp.full(m, INT_MIN, jnp.int32).at[
+        jnp.clip(ai, 0, m)].set(jnp.where(ai < m, plcp_irr, INT_MIN),
+                                mode="drop")
+    plcp = _plcp_fill(base, m)
+    ell = plcp[sa].at[0].set(0)
+
+    pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
+    pos, length, smaller, ref_sa, ref_isa = _assemble(
+        sa, pred_pos, succ_pos, a, b, n_t, sn_t, m, n_pad, sn_pad)
+
+    (pos, length, smaller, is_head, head_rank, heads_cnt, tails_cnt, h_dev,
+     char) = _postprocess(j, pos, length, smaller, n_t, sn_t, scale,
+                          n_pad, sn_pad)
+    h = int(np.asarray(h_dev))
+    h_pad = 1 << max(4, int(np.ceil(np.log2(max(h, 1)))))
+    out_t, out_pos, out_len, out_sml, out_chr = _compact_heads(
+        pos, length, smaller, is_head, head_rank, char, sn_pad, h_pad)
+
+    ref_sa_np = np.asarray(ref_sa)[:n]
+    ref_bwt = np.where(ref_sa_np > 0, x_aug[np.maximum(ref_sa_np - 1, 0)],
+                       np.uint8(0)).astype(np.uint8)
+    return DenseHeadsResult(
+        head_t=np.asarray(out_t)[:h].astype(np.int64),
+        head_pos=np.asarray(out_pos)[:h].astype(np.int64),
+        head_len=np.asarray(out_len)[:h].astype(np.int64),
+        head_smaller=np.asarray(out_sml)[:h],
+        head_char=np.asarray(out_chr)[:h],
+        heads_cnt=np.asarray(heads_cnt)[:n].astype(np.int64),
+        tails_cnt=np.asarray(tails_cnt)[:n].astype(np.int64),
+        ref_sa=ref_sa_np,
+        ref_isa=np.asarray(ref_isa)[:n],
+        ref_bwt=ref_bwt,
+        h=h, sn=sn, irreducible=rho)
