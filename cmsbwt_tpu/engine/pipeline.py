@@ -121,10 +121,34 @@ def compute_bwt(cfg: Config) -> dict:
     elif backend == "dense":
         # joint suffix sort computes MS, head records, and the ref index in
         # one device pipeline; only O(n + H) data reaches the host
-        from ..ops.ms_dense import ms_dense_heads
+        from ..ops.ms_dense import DenseHeadsResult, ms_dense_heads
+        from ..utils.checkpoint import CheckpointManager, file_stamp
         from .heads import HeadArrays
+        ckpt = CheckpointManager(cfg.checkpoint_dir)
+        fp = ckpt.fingerprint(ref=file_stamp(ref_path),
+                              coll=file_stamp(coll_path),
+                              prefix=cfg.prefix_length, phase="dense_heads")
+        cached = ckpt.load("dense_heads", fp) if cfg.checkpoint_dir else None
         with timer.phase("ms_scan"):
-            dres = ms_dense_heads(x_aug, coll.sx)
+            if cached is not None:
+                cached = {k: v for k, v in cached.items()}
+                dres = DenseHeadsResult(
+                    h=int(cached.pop("h")), sn=int(cached.pop("sn")),
+                    irreducible=int(cached.pop("irreducible")), **cached)
+            else:
+                dres = ms_dense_heads(x_aug, coll.sx)
+                if cfg.checkpoint_dir:
+                    ckpt.save("dense_heads", fp, {
+                        "head_t": dres.head_t, "head_pos": dres.head_pos,
+                        "head_len": dres.head_len,
+                        "head_smaller": dres.head_smaller,
+                        "head_char": dres.head_char,
+                        "heads_cnt": dres.heads_cnt,
+                        "tails_cnt": dres.tails_cnt,
+                        "ref_sa": dres.ref_sa, "ref_isa": dres.ref_isa,
+                        "ref_bwt": dres.ref_bwt,
+                        "h": np.int64(dres.h), "sn": np.int64(dres.sn),
+                        "irreducible": np.int64(dres.irreducible)})
         index = ReferenceIndex(
             x=x_aug,
             x_padded=np.concatenate([x_aug, np.zeros(1, np.uint8)]),

@@ -1,0 +1,106 @@
+"""Flagship model: the CMS-BWT transform as a reusable object API.
+
+The reference is a one-shot CLI; production deployments want to amortize the
+reference index across many collections (e.g. one pangenome reference,
+streams of new haplotype batches). ``CMSBWT`` holds the built index (host
+and/or device) and exposes ``transform`` for repeated collections.
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import numpy as np
+
+from ..config import Config
+from ..engine import merge as merge_mod
+from ..engine import pipeline as pipeline_mod
+from ..engine.heads import HeadArrays
+from ..engine.ms_host import MSArrays, ms_scan_collection
+from ..index.host import ReferenceIndex, build_reference_index
+from ..io import fasta
+from ..utils.timing import PhaseTimer
+
+
+@dataclass
+class TransformResult:
+    bwt: bytes | None
+    rle: bytes | None
+    sn: int
+    heads: int
+    timer: PhaseTimer
+
+
+class CMSBWT:
+    """Reference-indexed BWT constructor for repetitive collections."""
+
+    def __init__(self, reference: bytes | str | np.ndarray,
+                 config: Optional[Config] = None):
+        """``reference``: raw bytes, a FASTA/raw file path, or a pre-augmented
+        uint8 array."""
+        self.config = config or Config()
+        if isinstance(reference, str):
+            reference = fasta.load_reference_bytes(reference)
+        if isinstance(reference, (bytes, bytearray)):
+            self.x_aug = fasta.augment_reference(bytes(reference))
+        else:
+            self.x_aug = np.asarray(reference, dtype=np.uint8)
+        self._host_index: Optional[ReferenceIndex] = None
+
+    @property
+    def index(self) -> ReferenceIndex:
+        if self._host_index is None:
+            self._host_index = build_reference_index(self.x_aug)
+        return self._host_index
+
+    def transform(self, collection: str | fasta.Collection,
+                  rle: bool = False,
+                  backend: Optional[str] = None) -> TransformResult:
+        """Compute the collection BWT against the held reference."""
+        cfg = self.config
+        backend = backend or cfg.backend
+        if backend == "auto":
+            backend = "host"
+        if isinstance(collection, str):
+            sn_limit = fasta.collection_sn_limit(collection,
+                                                 cfg.prefix_length)
+            coll = fasta.parse_collection(collection, sn_limit)
+        else:
+            coll = collection
+        fasta.validate_collection(coll)
+        timer = PhaseTimer()
+        rle_quirk = rle and cfg.replicate_reference_rle_quirk
+        if backend == "dense":
+            from ..ops.ms_dense import ms_dense_heads
+            with timer.phase("ms_scan"):
+                dres = ms_dense_heads(self.x_aug, coll.sx)
+            index = ReferenceIndex(
+                x=self.x_aug,
+                x_padded=np.concatenate([self.x_aug,
+                                         np.zeros(1, np.uint8)]),
+                n=len(self.x_aug), sa=dres.ref_sa, isa=dres.ref_isa,
+                lcp=np.zeros(len(self.x_aug) + 1, np.int32),
+                plcp=np.zeros(len(self.x_aug), np.int32),
+                bwt=dres.ref_bwt, rank_history=[])
+            heads = HeadArrays(
+                t=dres.head_t, pos=dres.head_pos, length=dres.head_len,
+                smaller=dres.head_smaller, char=dres.head_char,
+                to_next=np.zeros(dres.h, np.int64),
+                isa_next=np.zeros(dres.h, np.int64),
+                succ=np.zeros(dres.h, np.int64), h=dres.h)
+            result = pipeline_mod.merge_from_heads(
+                index, heads, dres.heads_cnt, dres.tails_cnt, coll.d,
+                coll.sn, rle_quirk, timer)
+        else:
+            result = pipeline_mod.compute_bwt_arrays(
+                self.index, coll, rle_quirk, timer=timer)
+        bwt_bytes = rle_bytes = None
+        with timer.phase("encode"):
+            if rle:
+                rle_bytes = merge_mod.runs_to_rle(result.run_len,
+                                                  result.run_char)
+            else:
+                bwt_bytes = merge_mod.runs_to_plain(result.run_len,
+                                                    result.run_char)
+        return TransformResult(bwt=bwt_bytes, rle=rle_bytes, sn=result.sn,
+                               heads=result.h, timer=timer)
