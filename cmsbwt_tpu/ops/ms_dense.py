@@ -122,16 +122,19 @@ def _plcp_fill(irr_pos_plcp, m: int):
 
 
 def _seg_min_scan(vals, reset, reverse=False):
-    """Segmented running min: at slots where reset is True the accumulation
-    restarts *after* that slot (the reset slot's own output is vals there)."""
+    """Segmented running min via one ``cummax`` (associative_scan's generic
+    lowering OOMs the compiler at tens of millions of elements).
 
-    def combine(x, y):
-        fx, vx = x
-        fy, vy = y
-        return fy | fx, jnp.where(fy, vy, jnp.minimum(vx, vy))
-
-    f, v = jax.lax.associative_scan(combine, (reset, vals), reverse=reverse)
-    return v
+    With segment ids s[r] = cumsum(reset), the segmented min equals
+    ``BIG*s[r] - cummax(BIG*s - vals)[r]``: earlier segments' transformed
+    values are smaller by at least BIG - max(vals) so they never win.
+    """
+    if reverse:
+        return _seg_min_scan(vals[::-1], reset[::-1])[::-1]
+    big = jnp.int64(1) << 32
+    seg = jnp.cumsum(reset.astype(jnp.int64))
+    t = big * seg - vals.astype(jnp.int64)
+    return (big * seg - jax.lax.cummax(t)).astype(jnp.int32)
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
