@@ -131,10 +131,12 @@ def _seg_min_scan(vals, reset, reverse=False):
     """
     if reverse:
         return _seg_min_scan(vals[::-1], reset[::-1])[::-1]
-    big = jnp.int64(1) << 32
-    seg = jnp.cumsum(reset.astype(jnp.int64))
-    t = big * seg - vals.astype(jnp.int64)
-    return (big * seg - jax.lax.cummax(t)).astype(jnp.int32)
+    with jax.enable_x64(True):  # int64 survives canonicalization in-scope
+        big = jnp.int64(1) << 32
+        seg = jnp.cumsum(reset.astype(jnp.int64))
+        t = big * seg - vals.astype(jnp.int64)
+        out = (big * seg - jax.lax.cummax(t)).astype(jnp.int32)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
