@@ -45,7 +45,13 @@ def n_levels(n: int) -> int:
 @functools.partial(jax.jit, static_argnames=("n",))
 def suffix_array_device(x: jnp.ndarray, n: int
                         ) -> tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Return (sa int32[n], isa int32[n], history int32[LEVELS, n])."""
+    """Return (sa int32[n], isa int32[n], history int32[LEVELS, n]).
+
+    Each doubling round is two lax.sorts: one by (rank, rank[i+k]) and one
+    to invert the resulting permutation. Sorts replace all O(n) random
+    scatters — on TPU a sort runs ~5x faster than an n-element scatter
+    (scatters serialize at tens of M elem/s).
+    """
     levels = n_levels(n)
     rank0 = _dense_rank(x.astype(jnp.int32))
     history = jnp.zeros((levels, n), jnp.int32).at[0].set(rank0)
@@ -56,16 +62,19 @@ def suffix_array_device(x: jnp.ndarray, n: int
         shift = jnp.int32(1) << k
 
         def do_sort(rank):
-            nxt = jnp.where(idx + shift < n,
-                            rank[jnp.minimum(idx + shift, n - 1)], -1)
+            # rank[i + shift] as a dynamic slice of a padded copy (dense
+            # shifted load, not a gather)
+            padded = jnp.concatenate([rank, jnp.full(n, -1, jnp.int32)])
+            nxt = jax.lax.dynamic_slice(padded, (shift,), (n,))
             r_s, n_s, ord_s = jax.lax.sort((rank, nxt, idx), num_keys=2)
             changed = jnp.concatenate(
                 [jnp.ones(1, jnp.int32),
                  ((r_s[1:] != r_s[:-1]) | (n_s[1:] != n_s[:-1])
                   ).astype(jnp.int32)])
-            new_sorted = jnp.cumsum(changed) - 1
-            return jnp.zeros(n, jnp.int32).at[ord_s].set(
-                new_sorted.astype(jnp.int32))
+            new_sorted = jnp.cumsum(changed).astype(jnp.int32) - 1
+            # invert the permutation by sorting (ord_s, new_sorted)
+            _, new_rank = jax.lax.sort((ord_s, new_sorted), num_keys=1)
+            return new_rank
 
         new_rank = jax.lax.cond(done, lambda r: r, do_sort, rank)
         history = history.at[k + 1].set(
@@ -77,7 +86,8 @@ def suffix_array_device(x: jnp.ndarray, n: int
     (rank, history, _), _ = jax.lax.scan(
         round_k, (rank0, history, done0),
         jnp.arange(levels - 1, dtype=jnp.int32))
-    sa = jnp.zeros(n, jnp.int32).at[rank].set(idx)
+    # sa = inverse of rank, again by sorting
+    _, sa = jax.lax.sort((rank, idx), num_keys=1)
     return sa, rank, history
 
 

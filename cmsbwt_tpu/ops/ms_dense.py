@@ -2,20 +2,24 @@
 collection) replaces the per-character scan entirely.
 
 TPU rationale (SURVEY.md §2 parallelism table): XLA:TPU executes sorts and
-scans at memory bandwidth but serializes random gathers (~tens of M elem/s),
-so the reference's pointer-chasing scan (ref ``CMS-BWT-functions.cpp:45-149``)
-is reformulated as dense array passes:
+scans at memory bandwidth but serializes random gathers/scatters (~tens of
+M elem/s), so the reference's pointer-chasing scan
+(ref ``CMS-BWT-functions.cpp:45-149``) is reformulated as dense array
+passes, and every O(m) permutation is applied by *sorting* (a TPU sort is
+~5x faster than an m-element scatter):
 
 1. Joint int32 string J = map(x) ++ map(SX) where collection separators get
    distinct ascending values in (1, 3)·(S+1) — exactly the reference's
    implicit ordering of document separators (doc-rank order, ref :630-645).
-2. Prefix-doubling suffix sort of J (lax.sort rounds, rank history kept).
+2. Prefix-doubling suffix sort of J (two lax.sorts per round; rank history
+   kept for lifting).
 3. Adjacent joint LCP via the irreducible-PLCP theorem (Kärkkäinen–Manzini–
-   Puglisi): only positions whose φ-predecessor pair is preceded by
-   different chars need a rank-history lift; the rest follow from a
+   Puglisi): only SA slots whose preceding characters differ (joint-BWT run
+   boundaries) are lifted through the rank history; the rest follow from a
    ``cummax`` fill — O(runs · log m) gathers instead of O(m · log m).
 4. For every collection suffix, the nearest reference suffixes above/below
-   in joint order and the segment-min LCP to each (segmented scans). Then
+   in joint order and the LCP to each (segmented min scans — by the
+   range-min property these equal lcp(suffix, neighbor) exactly). Then
 
    * ``mslen  = max(A, B)``  (A/B = LCP to nearest ref below/above),
    * ``smaller = B >= A``    (the reference picks the successor when it
@@ -39,7 +43,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SEPARATOR
-from ..index.device import n_levels
 
 INT_MIN = -(2**31)
 INT_MAX = 2**31 - 1
@@ -76,49 +79,58 @@ def _joint_sa(j: jnp.ndarray, m: int):
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
-def _phi_and_irreducible(j, sa, m: int):
-    """φ array and irreducible mask (text order)."""
+def _irreducible_slots(j, sa, isa, m: int):
+    """Irreducible-LCP slots in SA order, compacted by sorting.
+
+    Returns (rho, slots_sorted, ai_sorted, bi_sorted): the first rho entries
+    of the sorted arrays are the irreducible SA slots with their text
+    position sa[r] and φ value sa[r-1].
+    """
+    # joint BWT in SA order via one sort: payload v[i] = J[i-1] keyed by isa
+    v = jnp.concatenate([jnp.full(1, -1, jnp.int32), j[:-1]])
+    _, bw_sa = jax.lax.sort((isa, v), num_keys=1)
+    bw_prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), bw_sa[:-1]])
     r = jnp.arange(m, dtype=jnp.int32)
-    phi = jnp.zeros(m, jnp.int32).at[sa].set(
-        jnp.concatenate([jnp.full(1, m, jnp.int32), sa[:-1]]))
-    # text position i is reducible iff phi[i] valid and J[i-1] == J[phi[i]-1]
-    pi = phi
-    valid = (r > 0) & (pi > 0) & (pi < m)
-    jm1 = j[jnp.clip(r - 1, 0, m - 1)]
-    jp1 = j[jnp.clip(pi - 1, 0, m - 1)]
-    reducible = valid & (jm1 == jp1)
-    return phi, ~reducible
+    reducible = (r > 0) & (bw_sa >= 0) & (bw_sa == bw_prev)
+    irr = ~reducible
+    rho = jnp.sum(irr.astype(jnp.int32))
+    sa_prev = jnp.concatenate([jnp.full(1, m, jnp.int32), sa[:-1]])
+    key = jnp.where(irr, r, m)
+    _, ai, bi = jax.lax.sort((key, sa, sa_prev), num_keys=1)
+    return rho, ai, bi
 
 
-def _lift_pairs(history, a, b, m: int):
-    """lcp(a, b) for position pairs via rank-history binary lifting."""
+@functools.partial(jax.jit, static_argnames=("m", "rho_pad"))
+def _lift_and_fill(history, ai_all, bi_all, sa, isa, m: int, rho_pad: int):
+    """Lift lcp(ai, bi) for the first rho_pad compacted pairs, fill PLCP for
+    all text positions, and return the adjacent joint LCP in SA order."""
+    ai = jax.lax.dynamic_slice(ai_all, (0,), (rho_pad,))
+    bi = jax.lax.dynamic_slice(bi_all, (0,), (rho_pad,))
+    valid = ai < m
     levels = history.shape[0]
-    h = jnp.zeros(a.shape, jnp.int32)
+    h = jnp.zeros(rho_pad, jnp.int32)
 
     def level(h, k):
         rk = history[k]
-        va = a + h
-        vb = b + h
-        ok = (va < m) & (vb < m)
+        va = ai + h
+        vb = bi + h
+        ok = valid & (va < m) & (vb < m)
         eq = ok & (rk[jnp.clip(va, 0, m - 1)] == rk[jnp.clip(vb, 0, m - 1)])
         return h + jnp.where(eq, jnp.int32(1) << k, 0), None
 
     h, _ = jax.lax.scan(level, h,
                         jnp.arange(levels - 1, -1, -1, dtype=jnp.int32))
-    return h
-
-
-@functools.partial(jax.jit, static_argnames=("m",))
-def _plcp_fill(irr_pos_plcp, m: int):
-    """PLCP for all text positions from irreducible values.
-
-    irr_pos_plcp: int32[m], plcp value at irreducible positions, INT_MIN
-    elsewhere. PLCP[i] = max_j<=i (val[j] + j) - i.
-    """
+    # scatter rho values to text order (rho-sized scatter), then cummax fill
+    base = jnp.full(m, INT_MIN, jnp.int32).at[
+        jnp.where(valid, ai, m)].set(
+        jnp.where(valid, h, INT_MIN), mode="drop")
     r = jnp.arange(m, dtype=jnp.int32)
-    best = jax.lax.cummax(jnp.where(irr_pos_plcp > INT_MIN,
-                                    irr_pos_plcp + r, INT_MIN))
-    return best - r
+    best = jax.lax.cummax(jnp.where(base > INT_MIN, base + r, INT_MIN))
+    plcp = best - r
+    # PLCP (text order) -> adjacent LCP in SA order via one sort
+    _, ell = jax.lax.sort((isa, plcp), num_keys=1)
+    ell = ell.at[0].set(0)
+    return ell
 
 
 def _seg_min_scan(vals, reset, reverse=False):
@@ -127,7 +139,7 @@ def _seg_min_scan(vals, reset, reverse=False):
 
     With segment ids s[r] = cumsum(reset), the segmented min equals
     ``BIG*s[r] - cummax(BIG*s - vals)[r]``: earlier segments' transformed
-    values are smaller by at least BIG - max(vals) so they never win.
+    values are smaller by at least BIG - range(vals) so they never win.
     """
     if reverse:
         return _seg_min_scan(vals[::-1], reset[::-1])[::-1]
@@ -139,36 +151,118 @@ def _seg_min_scan(vals, reset, reverse=False):
     return out
 
 
+def _fill_ref_value(is_ref, sa, m, reverse=False):
+    """Nearest reference slot's sa value at-or-below (or at-or-above with
+    reverse) each slot, plus an existence mask — one packed cummax."""
+    if reverse:
+        v, ok = _fill_ref_value(is_ref[::-1], sa[::-1], m)
+        return v[::-1], ok[::-1]
+    with jax.enable_x64(True):
+        idx = jnp.arange(is_ref.shape[0], dtype=jnp.int64)
+        packed = jnp.where(is_ref, (idx << 32) | sa.astype(jnp.int64),
+                           jnp.int64(-1))
+        f = jax.lax.cummax(packed)
+        ok = f >= 0
+        val = (f & jnp.int64(0xFFFFFFFF)).astype(jnp.int32)
+    return val, ok
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
 def _neighbors(sa, ell, n, m: int):
     """For each joint SA slot: (pred ref pos, succ ref pos, A, B).
 
-    ``n`` is a traced scalar (true reference length) so bucket-padded
-    shapes share one compilation.
+    A[r] (resp. B[r]) is lcp(suffix at slot r, nearest ref suffix below
+    (resp. above)) — the segmented min of adjacent LCPs equals the endpoint
+    lcp by the range-min property. ``n`` is traced so bucket-padded shapes
+    share one compilation.
     """
     is_ref = sa < n
-    idx = jnp.arange(m, dtype=jnp.int32)
-    # nearest ref slot at or below
-    p = jax.lax.cummax(jnp.where(is_ref, idx, -1))
-    # nearest ref slot at or above (reverse cummin; sentinel m+1 = none)
-    q = -jax.lax.cummax(jnp.where(is_ref, -idx,
-                                  -jnp.int32(m + 1))[::-1])[::-1]
-    pred_pos = sa[jnp.clip(p, 0, m - 1)]
-    succ_pos = jnp.where(q < m, sa[jnp.clip(q, 0, m - 1)], -1)
+    pred_pos, has_pred = _fill_ref_value(is_ref, sa, m)
+    succ_pos, has_succ = _fill_ref_value(is_ref, sa, m, reverse=True)
 
-    # A[r] = min ell over (p[r], r]; segments restart after ref slots:
-    # reset at slot r when slot r-1 is ref
     reset_fwd = jnp.concatenate([jnp.ones(1, bool), is_ref[:-1]])
     a = _seg_min_scan(ell, reset_fwd)
-    # B[r] = min ell over (r, q]; in reverse orientation use ell shifted
-    # left by one (ell[r+1] = lcp(slot r, slot r+1)) and restart after ref
-    # slots seen from the right
     ell_s = jnp.concatenate([ell[1:], jnp.zeros(1, jnp.int32)])
     reset_bwd = jnp.concatenate([is_ref[1:], jnp.ones(1, bool)])
     b = _seg_min_scan(ell_s, reset_bwd, reverse=True)
-    b = jnp.where(q < m, b, INT_MIN)
-    a = jnp.where(p >= 0, a, INT_MIN)
-    return pred_pos, succ_pos, a, b
+    b = jnp.where(has_succ, b, INT_MIN)
+    a = jnp.where(has_pred, a, INT_MIN)
+    return pred_pos, jnp.where(has_succ, succ_pos, -1), a, b
+
+
+@functools.partial(jax.jit, static_argnames=("m", "n_pad", "sn_pad"))
+def _assemble(sa, pred_pos, succ_pos, a, b, n, sn, m: int, n_pad: int,
+              sn_pad: int):
+    """Sort per-slot results into collection text order + extract the
+    reference-only index (bucket-padded output shapes; sliced on host)."""
+    r = jnp.arange(m, dtype=jnp.int32)
+    is_ref = sa < n
+    is_coll = (sa >= n_pad) & (sa < n_pad + sn)
+    choose_succ = b >= a
+    pos_slot = jnp.where(choose_succ, succ_pos, pred_pos)
+    len_slot = jnp.maximum(a, b)
+    # collection text order via sort (t is a permutation of [0, sn))
+    t = sa - n_pad
+    key = jnp.where(is_coll, t, INT_MAX)
+    _, pos_txt, len_txt, sml_txt = jax.lax.sort(
+        (key, pos_slot, len_slot, choose_succ.astype(jnp.int32)),
+        num_keys=1)
+    pos = jax.lax.dynamic_slice(pos_txt, (0,), (sn_pad,))
+    length = jax.lax.dynamic_slice(len_txt, (0,), (sn_pad,))
+    smaller = jax.lax.dynamic_slice(sml_txt, (0,), (sn_pad,)) != 0
+    # reference extraction: ref slots in SA order, then invert by sorting
+    key_ref = jnp.where(is_ref, r, INT_MAX)
+    _, ref_sa_full = jax.lax.sort((key_ref, sa), num_keys=1)
+    ref_sa = jax.lax.dynamic_slice(ref_sa_full, (0,), (n_pad,))
+    ridx = jnp.arange(n_pad, dtype=jnp.int32)
+    key_inv = jnp.where(ridx < n, ref_sa, INT_MAX)
+    _, ref_isa = jax.lax.sort((key_inv, ridx), num_keys=1)
+    return pos, length, smaller, ref_sa, ref_isa
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
+def _postprocess(j, pos, length, smaller, n, sn, scale,
+                 n_pad: int, sn_pad: int):
+    """Device-side separator fixup, head detection, and bucket counts.
+
+    Only O(n + H) data leaves the chip afterwards (the device link runs at
+    tens of MB/s).
+    """
+    jc = jax.lax.dynamic_slice(j, (n_pad,), (sn_pad,))
+    tidx = jnp.arange(sn_pad, dtype=jnp.int32)
+    valid = tidx < sn
+    sep = valid & (jc >= 2 * scale) & (jc < 3 * scale)
+    pos = jnp.where(sep, n - 1, pos)
+    length = jnp.where(sep, 0, length)
+    prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), pos[:-1]])
+    is_head = valid & (pos != prev + 1)
+    smaller = smaller & is_head & ~sep
+    # one combined scatter-add for both count arrays
+    counts = jnp.zeros(2 * n_pad, jnp.int32).at[
+        jnp.where(valid, pos + n_pad * is_head, 2 * n_pad)].add(
+        1, mode="drop")
+    tails_cnt = jax.lax.dynamic_slice(counts, (0,), (n_pad,))
+    heads_cnt = jax.lax.dynamic_slice(counts, (n_pad,), (n_pad,))
+    h = jnp.sum(is_head.astype(jnp.int32))
+    # head BWT char: previous collection char, cyclic (extract_heads rule);
+    # recover the byte from the joint mapping (c*scale, separators -> 2)
+    prev_j = jnp.concatenate([jc[:1], jc[:-1]])
+    prev_j = jnp.where(tidx == 0, jc[jnp.maximum(sn - 1, 0)], prev_j)
+    char = (prev_j // scale).astype(jnp.int32)
+    return pos, length, smaller, is_head, heads_cnt, tails_cnt, h, char
+
+
+@functools.partial(jax.jit, static_argnames=("sn_pad", "h_pad"))
+def _compact_heads(pos, length, smaller, is_head, char,
+                   sn_pad: int, h_pad: int):
+    """Order-preserving head compaction via one multi-operand sort."""
+    tidx = jnp.arange(sn_pad, dtype=jnp.int32)
+    key = jnp.where(is_head, tidx, INT_MAX)
+    _, t_s, pos_s, len_s, sml_s, chr_s = jax.lax.sort(
+        (key, tidx, pos, length, smaller.astype(jnp.int32), char),
+        num_keys=1)
+    sl = lambda x: jax.lax.dynamic_slice(x, (0,), (h_pad,))
+    return sl(t_s), sl(pos_s), sl(len_s), sl(sml_s) != 0, sl(chr_s)
 
 
 @dataclass
@@ -183,145 +277,6 @@ class DenseMSResult:
     ref_bwt: np.ndarray
     irreducible: int
     m: int
-
-
-@functools.partial(jax.jit, static_argnames=("m", "n_pad", "sn_pad"))
-def _assemble(sa, pred_pos, succ_pos, a, b, n, sn, m: int, n_pad: int,
-              sn_pad: int):
-    """Scatter per-slot results into collection text order + extract the
-    reference-only index (bucket-padded output shapes; sliced on host)."""
-    is_ref = sa < n
-    is_coll = (sa >= n_pad) & (sa < n_pad + sn)
-    choose_succ = b >= a
-    pos_slot = jnp.where(choose_succ, succ_pos, pred_pos)
-    len_slot = jnp.maximum(a, b)
-    # collection text order
-    t = sa - n_pad
-    pos = jnp.zeros(sn_pad, jnp.int32).at[
-        jnp.where(is_coll, t, sn_pad)].set(pos_slot, mode="drop")
-    length = jnp.zeros(sn_pad, jnp.int32).at[
-        jnp.where(is_coll, t, sn_pad)].set(len_slot, mode="drop")
-    smaller = jnp.zeros(sn_pad, bool).at[
-        jnp.where(is_coll, t, sn_pad)].set(choose_succ, mode="drop")
-    # reference-only extraction
-    ref_rank = jnp.cumsum(is_ref.astype(jnp.int32)) - 1
-    ref_sa = jnp.zeros(n_pad, jnp.int32).at[
-        jnp.where(is_ref, ref_rank, n_pad)].set(sa, mode="drop")
-    ridx = jnp.arange(n_pad, dtype=jnp.int32)
-    ref_isa = jnp.zeros(n_pad, jnp.int32).at[
-        jnp.where(ridx < n, ref_sa, n_pad)].set(ridx, mode="drop")
-    return pos, length, smaller, ref_sa, ref_isa
-
-
-@functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
-def _postprocess(j, pos, length, smaller, n, sn, scale,
-                 n_pad: int, sn_pad: int):
-    """Device-side separator fixup, head detection, and bucket counts.
-
-    Avoids shipping O(sn) arrays to the host (the device link runs at tens
-    of MB/s): only O(n + H) data leaves the chip. Returns per-position
-    (pos, length, smaller, is_head, head_rank) plus per-reference-position
-    head/tail counts and the head count.
-    """
-    jc = jax.lax.dynamic_slice(j, (n_pad,), (sn_pad,))
-    tidx = jnp.arange(sn_pad, dtype=jnp.int32)
-    valid = tidx < sn
-    sep = valid & (jc >= 2 * scale) & (jc < 3 * scale)
-    pos = jnp.where(sep, n - 1, pos)
-    length = jnp.where(sep, 0, length)
-    prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), pos[:-1]])
-    is_head = valid & (pos != prev + 1)
-    smaller = smaller & is_head
-    heads_cnt = jnp.zeros(n_pad, jnp.int32).at[
-        jnp.where(is_head, pos, n_pad)].add(1, mode="drop")
-    tails_cnt = jnp.zeros(n_pad, jnp.int32).at[
-        jnp.where(valid & ~is_head, pos, n_pad)].add(1, mode="drop")
-    head_rank = jnp.cumsum(is_head.astype(jnp.int32)) - 1
-    h = head_rank[-1] + 1
-    # head BWT char: previous collection char, cyclic (extract_heads rule);
-    # recover the byte from the joint mapping (c*scale, separators -> 2)
-    prev_j = jc[jnp.where(tidx > 0, tidx - 1, sn - 1)]
-    char = (prev_j // scale).astype(jnp.uint8)
-    return pos, length, smaller, is_head, head_rank, heads_cnt, tails_cnt, \
-        h, char
-
-
-@functools.partial(jax.jit, static_argnames=("sn_pad", "h_pad"))
-def _compact_heads(pos, length, smaller, is_head, head_rank, char,
-                   sn_pad: int, h_pad: int):
-    """Order-preserving compaction of head records into h_pad slots."""
-    tidx = jnp.arange(sn_pad, dtype=jnp.int32)
-    dst = jnp.where(is_head, head_rank, h_pad)
-    out_t = jnp.zeros(h_pad, jnp.int32).at[dst].set(tidx, mode="drop")
-    out_pos = jnp.zeros(h_pad, jnp.int32).at[dst].set(pos, mode="drop")
-    out_len = jnp.zeros(h_pad, jnp.int32).at[dst].set(length, mode="drop")
-    out_sml = jnp.zeros(h_pad, bool).at[dst].set(smaller, mode="drop")
-    out_chr = jnp.zeros(h_pad, jnp.uint8).at[dst].set(char, mode="drop")
-    return out_t, out_pos, out_len, out_sml, out_chr
-
-
-def ms_dense(x_aug: np.ndarray, sx: np.ndarray,
-             bucketed: bool = True) -> DenseMSResult:
-    """Full dense MS computation (single device)."""
-    from ..utils.jaxcache import bucket_size, enable_compilation_cache
-    enable_compilation_cache()
-    n = len(x_aug)
-    sn = len(sx)
-    n_pad = bucket_size(n) if bucketed else n
-    sn_pad = bucket_size(sn) if bucketed else sn
-    m = n_pad + sn_pad
-    j_host = build_joint_string(x_aug, sx, n_pad, sn_pad)
-    j = jnp.asarray(j_host)
-    n_t = jnp.int32(n)
-    sn_t = jnp.int32(sn)
-    sa, isa, history = _joint_sa(j, m)
-    phi, irr = _phi_and_irreducible(j, sa, m)
-
-    # lift only irreducible positions (host compaction for static shapes)
-    irr_host = np.asarray(irr)
-    irr_idx = np.nonzero(irr_host)[0].astype(np.int32)
-    rho = len(irr_idx)
-    pad = 1 << max(4, int(np.ceil(np.log2(max(rho, 1)))))
-    irr_idx_p = np.full(pad, m, dtype=np.int32)
-    irr_idx_p[:rho] = irr_idx
-    ai = jnp.asarray(irr_idx_p)
-    bi = phi[jnp.clip(ai, 0, m - 1)]
-    bi = jnp.where(ai < m, bi, m)
-    plcp_irr = _lift_pairs(history, ai, bi, m)
-    # scatter to text order, fill reducible
-    base = jnp.full(m, INT_MIN, jnp.int32).at[
-        jnp.clip(ai, 0, m)].set(jnp.where(ai < m, plcp_irr, INT_MIN),
-                                mode="drop")
-    plcp = _plcp_fill(base, m)
-    ell = plcp[sa]                              # adjacent joint LCP, SA order
-    ell = ell.at[0].set(0)
-
-    pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
-    pos, length, smaller, ref_sa, ref_isa = _assemble(
-        sa, pred_pos, succ_pos, a, b, n_t, sn_t, m, n_pad, sn_pad)
-
-    pos = np.asarray(pos)[:sn].astype(np.int64)
-    length = np.asarray(length)[:sn].astype(np.int64)
-    smaller = np.asarray(smaller)[:sn].copy()
-    ref_sa_np = np.asarray(ref_sa)[:n]
-    ref_isa_np = np.asarray(ref_isa)[:n]
-    ref_bwt = np.where(ref_sa_np > 0, x_aug[np.maximum(ref_sa_np - 1, 0)],
-                       np.uint8(0)).astype(np.uint8)
-
-    # separator pseudo-factors + head flags
-    sep = sx == SEPARATOR
-    pos[sep] = n - 1
-    length[sep] = 0
-    smaller[sep] = False
-    prev = np.empty(sn, dtype=np.int64)
-    prev[0] = -2
-    prev[1:] = pos[:-1]
-    is_head = pos != prev + 1
-    smaller = smaller & is_head
-    return DenseMSResult(pos=pos, length=length, smaller=smaller,
-                         is_head=is_head, ref_sa=ref_sa_np,
-                         ref_isa=ref_isa_np, ref_bwt=ref_bwt,
-                         irreducible=rho, m=m)
 
 
 @dataclass
@@ -344,9 +299,11 @@ class DenseHeadsResult:
     irreducible: int
 
 
-def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
-                   bucketed: bool = True) -> DenseHeadsResult:
-    """Dense MS with device-side head extraction (the production path)."""
+def _pow2_pad(x: int) -> int:
+    return 1 << max(4, int(np.ceil(np.log2(max(x, 1)))))
+
+
+def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     from ..utils.jaxcache import bucket_size, enable_compilation_cache
     enable_compilation_cache()
     n = len(x_aug)
@@ -361,45 +318,73 @@ def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
     scale = jnp.int32(s + 1)
 
     sa, isa, history = _joint_sa(j, m)
-    phi, irr = _phi_and_irreducible(j, sa, m)
-    irr_idx = np.nonzero(np.asarray(irr))[0].astype(np.int32)
-    rho = len(irr_idx)
-    pad = 1 << max(4, int(np.ceil(np.log2(max(rho, 1)))))
-    irr_idx_p = np.full(pad, m, dtype=np.int32)
-    irr_idx_p[:rho] = irr_idx
-    ai = jnp.asarray(irr_idx_p)
-    bi = jnp.where(ai < m, phi[jnp.clip(ai, 0, m - 1)], m)
-    plcp_irr = _lift_pairs(history, ai, bi, m)
-    base = jnp.full(m, INT_MIN, jnp.int32).at[
-        jnp.clip(ai, 0, m)].set(jnp.where(ai < m, plcp_irr, INT_MIN),
-                                mode="drop")
-    plcp = _plcp_fill(base, m)
-    ell = plcp[sa].at[0].set(0)
-
+    rho_dev, ai_all, bi_all = _irreducible_slots(j, sa, isa, m)
+    rho = int(np.asarray(rho_dev))
+    rho_pad = min(_pow2_pad(rho), m)
+    ell = _lift_and_fill(history, ai_all, bi_all, sa, isa, m, rho_pad)
     pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
     pos, length, smaller, ref_sa, ref_isa = _assemble(
         sa, pred_pos, succ_pos, a, b, n_t, sn_t, m, n_pad, sn_pad)
+    return dict(j=j, n=n, sn=sn, n_pad=n_pad, sn_pad=sn_pad, m=m, rho=rho,
+                scale=scale, n_t=n_t, sn_t=sn_t, pos=pos, length=length,
+                smaller=smaller, ref_sa=ref_sa, ref_isa=ref_isa)
 
-    (pos, length, smaller, is_head, head_rank, heads_cnt, tails_cnt, h_dev,
-     char) = _postprocess(j, pos, length, smaller, n_t, sn_t, scale,
-                          n_pad, sn_pad)
+
+def _export_ref(core) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    n = core["n"]
+    ref_sa = np.asarray(core["ref_sa"])[:n]
+    ref_isa = np.asarray(core["ref_isa"])[:n]
+    return ref_sa, ref_isa
+
+
+def ms_dense(x_aug: np.ndarray, sx: np.ndarray,
+             bucketed: bool = True) -> DenseMSResult:
+    """Full dense MS computation returning per-position arrays (test and
+    small-input path; production uses ms_dense_heads)."""
+    core = _dense_core(x_aug, sx, bucketed)
+    n, sn = core["n"], core["sn"]
+    (pos, length, smaller, is_head, heads_cnt, tails_cnt, h_dev,
+     char) = _postprocess(core["j"], core["pos"], core["length"],
+                          core["smaller"], core["n_t"], core["sn_t"],
+                          core["scale"], core["n_pad"], core["sn_pad"])
+    pos_np = np.asarray(pos)[:sn].astype(np.int64)
+    length_np = np.asarray(length)[:sn].astype(np.int64)
+    smaller_np = np.asarray(smaller)[:sn].copy()
+    is_head_np = np.asarray(is_head)[:sn].copy()
+    ref_sa, ref_isa = _export_ref(core)
+    x_aug_np = np.asarray(x_aug)
+    ref_bwt = np.where(ref_sa > 0, x_aug_np[np.maximum(ref_sa - 1, 0)],
+                       np.uint8(0)).astype(np.uint8)
+    return DenseMSResult(pos=pos_np, length=length_np, smaller=smaller_np,
+                         is_head=is_head_np, ref_sa=ref_sa, ref_isa=ref_isa,
+                         ref_bwt=ref_bwt, irreducible=core["rho"],
+                         m=core["m"])
+
+
+def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
+                   bucketed: bool = True) -> DenseHeadsResult:
+    """Dense MS with device-side head extraction (the production path)."""
+    core = _dense_core(x_aug, sx, bucketed)
+    n, sn = core["n"], core["sn"]
+    (pos, length, smaller, is_head, heads_cnt, tails_cnt, h_dev,
+     char) = _postprocess(core["j"], core["pos"], core["length"],
+                          core["smaller"], core["n_t"], core["sn_t"],
+                          core["scale"], core["n_pad"], core["sn_pad"])
     h = int(np.asarray(h_dev))
-    h_pad = 1 << max(4, int(np.ceil(np.log2(max(h, 1)))))
+    h_pad = min(_pow2_pad(h), core["sn_pad"])
     out_t, out_pos, out_len, out_sml, out_chr = _compact_heads(
-        pos, length, smaller, is_head, head_rank, char, sn_pad, h_pad)
-
-    ref_sa_np = np.asarray(ref_sa)[:n]
-    ref_bwt = np.where(ref_sa_np > 0, x_aug[np.maximum(ref_sa_np - 1, 0)],
+        pos, length, smaller, is_head, char, core["sn_pad"], h_pad)
+    ref_sa, ref_isa = _export_ref(core)
+    x_aug_np = np.asarray(x_aug)
+    ref_bwt = np.where(ref_sa > 0, x_aug_np[np.maximum(ref_sa - 1, 0)],
                        np.uint8(0)).astype(np.uint8)
     return DenseHeadsResult(
         head_t=np.asarray(out_t)[:h].astype(np.int64),
         head_pos=np.asarray(out_pos)[:h].astype(np.int64),
         head_len=np.asarray(out_len)[:h].astype(np.int64),
         head_smaller=np.asarray(out_sml)[:h],
-        head_char=np.asarray(out_chr)[:h],
+        head_char=np.asarray(out_chr)[:h].astype(np.uint8),
         heads_cnt=np.asarray(heads_cnt)[:n].astype(np.int64),
         tails_cnt=np.asarray(tails_cnt)[:n].astype(np.int64),
-        ref_sa=ref_sa_np,
-        ref_isa=np.asarray(ref_isa)[:n],
-        ref_bwt=ref_bwt,
-        h=h, sn=sn, irreducible=rho)
+        ref_sa=ref_sa, ref_isa=ref_isa, ref_bwt=ref_bwt,
+        h=h, sn=sn, irreducible=core["rho"])
