@@ -42,6 +42,9 @@ class Config:
     lane_chunk: int = 1 << 16       # collection chars per lane chunk
     skip_window: int = 256          # vectorized PLCP-skip / memcmp window
     mesh_shape: Optional[tuple] = None  # None = single device
+    dense_block_chars: Optional[int] = None  # None = single joint sort;
+                                    # else stream the collection in blocks
+    dense_ctx_chars: Optional[int] = None    # right-context per block
     checkpoint_dir: Optional[str] = None  # phase-boundary checkpoint/resume
     replicate_reference_rle_quirk: bool = True  # reproduce ref RLE residual quirk
                                     # (see merge.py; ref :1069-1078 vs :986-994)

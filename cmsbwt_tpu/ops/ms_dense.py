@@ -388,3 +388,157 @@ def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
         tails_cnt=np.asarray(tails_cnt)[:n].astype(np.int64),
         ref_sa=ref_sa, ref_isa=ref_isa, ref_bwt=ref_bwt,
         h=h, sn=sn, irreducible=core["rho"])
+
+
+# ---------------------------------------------------------------------------
+# Blocked execution: bounded memory + the unit of multi-chip distribution
+# ---------------------------------------------------------------------------
+#
+# The collection is processed in fixed-size blocks with a right-context
+# window. Exactness: every emitted quantity is an endpoint property —
+# pred/succ are decided by suffix-vs-reference comparisons that resolve
+# within mslen+1 chars, and A/B equal lcp(suffix, neighbor-ref) by the
+# range-min identity, independent of the (possibly truncated) suffixes in
+# between. A truncated match is detected on device (the match runs into the
+# context boundary) and the block is retried with a doubled context. This
+# is the TPU-native generalization of the reference's chunked spill
+# (ref CMS-BWT-functions.cpp:1131-1416): blocks are independent, so they
+# stream on one chip or fan out across a mesh.
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
+def _postprocess_block(j, pos, length, smaller, n, emit_len, scale,
+                       prev_pos0, prev_j0, n_pad: int, sn_pad: int):
+    """Block variant of _postprocess: emits only [0, emit_len), takes the
+    previous block's final pos and preceding joint char, and reports
+    context-truncation violations."""
+    jc = jax.lax.dynamic_slice(j, (n_pad,), (sn_pad,))
+    tidx = jnp.arange(sn_pad, dtype=jnp.int32)
+    valid = tidx < emit_len
+    sep = valid & (jc >= 2 * scale) & (jc < 3 * scale)
+    pos = jnp.where(sep, n - 1, pos)
+    length = jnp.where(sep, 0, length)
+    prev = jnp.concatenate([jnp.full(1, 0, jnp.int32), pos[:-1]])
+    prev = jnp.where(tidx == 0, prev_pos0, prev)
+    is_head = valid & (pos != prev + 1)
+    smaller = smaller & is_head & ~sep
+    counts = jnp.zeros(2 * n_pad, jnp.int32).at[
+        jnp.where(valid, pos + n_pad * is_head, 2 * n_pad)].add(
+        1, mode="drop")
+    tails_cnt = jax.lax.dynamic_slice(counts, (0,), (n_pad,))
+    heads_cnt = jax.lax.dynamic_slice(counts, (n_pad,), (n_pad,))
+    h = jnp.sum(is_head.astype(jnp.int32))
+    prev_j = jnp.concatenate([jc[:1], jc[:-1]])
+    prev_j = jnp.where(tidx == 0, prev_j0, prev_j)
+    char = (prev_j // scale).astype(jnp.int32)
+    # truncation check: a match reaching within 2 chars of the loaded window
+    # may have been cut by the pad (sn_block chars were loaded)
+    sn_block = jnp.sum((jc != PAD_VAL).astype(jnp.int32))
+    viol = jnp.any(valid & (tidx + length + 2 > sn_block))
+    last_pos = pos[jnp.maximum(emit_len - 1, 0)]
+    return (pos, length, smaller, is_head, heads_cnt, tails_cnt, h, char,
+            viol, last_pos)
+
+
+def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
+                           block_chars: int, ctx_chars: int | None = None
+                           ) -> DenseHeadsResult:
+    """Streaming/blocked dense MS: processes the collection in blocks of
+    ``block_chars`` with an adaptive right-context (bounded memory; blocks
+    are the distribution unit for multi-chip)."""
+    from ..utils.jaxcache import bucket_size, enable_compilation_cache
+    enable_compilation_cache()
+    n = len(x_aug)
+    sn = len(sx)
+    if ctx_chars is None:
+        ctx_chars = max(1 << 16, block_chars // 8)
+    s_total = int((sx == SEPARATOR).sum())
+    scale_i = s_total + 1
+    sep_cum = np.cumsum(sx == SEPARATOR)   # separators before position t
+    n_pad = bucket_size(n)
+
+    head_parts: list[dict] = []
+    heads_cnt = np.zeros(n, np.int64)
+    tails_cnt = np.zeros(n, np.int64)
+    ref_sa = ref_isa = None
+    prev_pos0 = -2
+    prev_j0 = None  # joint value of sx[b0-1]
+    total_rho = 0
+    b0 = 0
+    while b0 < sn:
+        emit_len = min(block_chars, sn - b0)
+        ctx = ctx_chars
+        while True:
+            end = min(b0 + emit_len + ctx, sn)
+            sx_blk = sx[b0:end]
+            bs_pad = bucket_size(emit_len + ctx)
+            m = n_pad + bs_pad
+            # joint string with GLOBAL separator numbering
+            j_host = build_joint_string(x_aug, sx_blk, n_pad, bs_pad)
+            blk_seps = np.nonzero(sx_blk == SEPARATOR)[0]
+            j_host[n_pad + blk_seps] = (
+                2 * scale_i +
+                (sep_cum[b0 + blk_seps] - 1)).astype(np.int32)
+            # re-scale the char mapping to the global scale
+            j_host[:n] = x_aug.astype(np.int32) * scale_i
+            nonsep = np.ones(len(sx_blk), bool)
+            nonsep[blk_seps] = False
+            j_host[n_pad + np.nonzero(nonsep)[0]] = (
+                sx_blk[nonsep].astype(np.int32) * scale_i)
+
+            j = jnp.asarray(j_host)
+            n_t = jnp.int32(n)
+            sa, isa, history = _joint_sa(j, m)
+            rho_dev, ai_all, bi_all = _irreducible_slots(j, sa, isa, m)
+            rho = int(np.asarray(rho_dev))
+            rho_pad = min(_pow2_pad(rho), m)
+            ell = _lift_and_fill(history, ai_all, bi_all, sa, isa, m,
+                                 rho_pad)
+            pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
+            pos, length, smaller, rsa, risa = _assemble(
+                sa, pred_pos, succ_pos, a, b, n_t,
+                jnp.int32(len(sx_blk)), m, n_pad, bs_pad)
+            if prev_j0 is None:
+                pj0 = jnp.int32(2 * scale_i + s_total - 1)  # final separator
+            else:
+                pj0 = jnp.int32(prev_j0)
+            (pos, length, smaller, is_head, hc, tc, h_dev, char, viol,
+             last_pos) = _postprocess_block(
+                j, pos, length, smaller, n_t, jnp.int32(emit_len),
+                jnp.int32(scale_i), jnp.int32(prev_pos0), pj0,
+                n_pad, bs_pad)
+            if bool(np.asarray(viol)) and end < sn:
+                ctx *= 2
+                continue
+            break
+        total_rho += rho
+        h = int(np.asarray(h_dev))
+        h_pad = min(_pow2_pad(h), bs_pad)
+        out_t, out_pos, out_len, out_sml, out_chr = _compact_heads(
+            pos, length, smaller, is_head, char, bs_pad, h_pad)
+        head_parts.append(dict(
+            t=np.asarray(out_t)[:h].astype(np.int64) + b0,
+            pos=np.asarray(out_pos)[:h].astype(np.int64),
+            length=np.asarray(out_len)[:h].astype(np.int64),
+            smaller=np.asarray(out_sml)[:h],
+            char=np.asarray(out_chr)[:h].astype(np.uint8)))
+        heads_cnt += np.asarray(hc)[:n]
+        tails_cnt += np.asarray(tc)[:n]
+        if ref_sa is None:
+            ref_sa = np.asarray(rsa)[:n]
+            ref_isa = np.asarray(risa)[:n]
+        prev_pos0 = int(np.asarray(last_pos))
+        prev_j0 = int(j_host[n_pad + emit_len - 1])
+        b0 += emit_len
+
+    ref_bwt = np.where(ref_sa > 0, x_aug[np.maximum(ref_sa - 1, 0)],
+                       np.uint8(0)).astype(np.uint8)
+    cat = lambda k: (np.concatenate([p[k] for p in head_parts])
+                     if head_parts else np.zeros(0, np.int64))
+    head_t = cat("t")
+    return DenseHeadsResult(
+        head_t=head_t, head_pos=cat("pos"), head_len=cat("length"),
+        head_smaller=np.concatenate([p["smaller"] for p in head_parts]),
+        head_char=np.concatenate([p["char"] for p in head_parts]),
+        heads_cnt=heads_cnt, tails_cnt=tails_cnt,
+        ref_sa=ref_sa, ref_isa=ref_isa, ref_bwt=ref_bwt,
+        h=len(head_t), sn=sn, irreducible=total_rho)
