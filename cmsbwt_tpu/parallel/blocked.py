@@ -1,0 +1,167 @@
+"""Multi-device blocked dense execution: collection blocks fan out
+round-robin over local devices (the index replicated per device), results
+merge on host. This is the production scale-out path (SURVEY.md §7.7): block
+independence comes from the endpoint-property argument in ops/ms_dense.py,
+so no collectives are needed during the scan — only the O(n + H) reductions
+at the end (count sums + head concatenation), the distributed analogue of
+the reference's chunked ``.phrases`` merge (ref CMS-BWT-functions.cpp:
+1394-1416).
+
+Cross-block head flags: blocks run with an unknown predecessor, so every
+block-first position is provisionally a head; the host fixup reclassifies it
+as a tail when the previous block's final pos chains into it (the
+``pos != prevPos + 1`` rule, ref :360).
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SEPARATOR
+from ..ops import ms_dense as MD
+
+
+def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
+                            block_chars: int, ctx_chars: int | None = None,
+                            devices=None) -> MD.DenseHeadsResult:
+    from ..utils.jaxcache import bucket_size, enable_compilation_cache
+    enable_compilation_cache()
+    if devices is None:
+        devices = jax.local_devices()
+    n = len(x_aug)
+    sn = len(sx)
+    if ctx_chars is None:
+        ctx_chars = max(1 << 16, block_chars // 8)
+    s_total = int((sx == SEPARATOR).sum())
+    scale_i = s_total + 1
+    sep_cum = np.cumsum(sx == SEPARATOR)
+    n_pad = bucket_size(n)
+
+    # block table
+    starts = list(range(0, sn, block_chars))
+    blocks = [dict(b0=b0, emit=min(block_chars, sn - b0), ctx=ctx_chars)
+              for b0 in starts]
+
+    def build_j(blk):
+        b0, emit, ctx = blk["b0"], blk["emit"], blk["ctx"]
+        end = min(b0 + emit + ctx, sn)
+        sx_blk = sx[b0:end]
+        bs_pad = bucket_size(emit + ctx)
+        j_host = np.full(n_pad + bs_pad, MD.PAD_VAL, dtype=np.int32)
+        j_host[:n] = x_aug.astype(np.int32) * scale_i
+        jsx = sx_blk.astype(np.int32) * scale_i
+        blk_seps = np.nonzero(sx_blk == SEPARATOR)[0]
+        jsx[blk_seps] = (2 * scale_i +
+                         (sep_cum[b0 + blk_seps] - 1)).astype(np.int32)
+        j_host[n_pad: n_pad + len(sx_blk)] = jsx
+        blk["bs_pad"] = bs_pad
+        blk["m"] = n_pad + bs_pad
+        blk["j_host"] = j_host
+        return j_host
+
+    pending = list(range(len(blocks)))
+    results = [None] * len(blocks)
+    while pending:
+        # pass 1: joint SA + irreducible count per block, async round-robin
+        stage = []
+        for i, bi in enumerate(pending):
+            blk = blocks[bi]
+            dev = devices[i % len(devices)]
+            j = jax.device_put(jnp.asarray(build_j(blk)), dev)
+            sa, isa, history = MD._joint_sa(j, blk["m"])
+            rho_dev, ai_all, bi_all = MD._irreducible_slots(
+                j, sa, isa, blk["m"])
+            stage.append((bi, j, sa, isa, history, rho_dev, ai_all, bi_all))
+        # pass 2: lift -> neighbors -> assemble -> postprocess
+        out = []
+        for (bi, j, sa, isa, history, rho_dev, ai_all, bi_all) in stage:
+            blk = blocks[bi]
+            m = blk["m"]
+            rho = int(np.asarray(rho_dev))
+            rho_pad = min(MD._pow2_pad(rho), m)
+            ell = MD._lift_and_fill(history, ai_all, bi_all, sa, isa, m,
+                                    rho_pad)
+            n_t = jnp.int32(n)
+            pred_pos, succ_pos, a, b = MD._neighbors(sa, ell, n_t, m)
+            pos, length, smaller, rsa, risa = MD._assemble(
+                sa, pred_pos, succ_pos, a, b, n_t,
+                jnp.int32(blk["emit"] + blk["ctx"]), m, n_pad,
+                blk["bs_pad"])
+            pj0 = (jnp.int32(2 * scale_i + s_total - 1) if blk["b0"] == 0
+                   else jnp.int32(int(
+                       _joint_char(sx, blk["b0"] - 1, sep_cum, scale_i))))
+            (pos, length, smaller, is_head, hc, tc, h_dev, char, viol,
+             last_pos) = MD._postprocess_block(
+                j, pos, length, smaller, n_t, jnp.int32(blk["emit"]),
+                jnp.int32(scale_i), jnp.int32(-2), pj0, n_pad,
+                blk["bs_pad"])
+            out.append((bi, rho, pos, length, smaller, is_head, hc, tc,
+                        h_dev, char, viol, last_pos, rsa, risa))
+        # pass 3: check violations, compact, download
+        new_pending = []
+        for (bi, rho, pos, length, smaller, is_head, hc, tc, h_dev, char,
+             viol, last_pos, rsa, risa) in out:
+            blk = blocks[bi]
+            end = min(blk["b0"] + blk["emit"] + blk["ctx"], sn)
+            if bool(np.asarray(viol)) and end < sn:
+                blk["ctx"] *= 2
+                new_pending.append(bi)
+                continue
+            h = int(np.asarray(h_dev))
+            h_pad = min(MD._pow2_pad(h), blk["bs_pad"])
+            out_t, out_pos, out_len, out_sml, out_chr = MD._compact_heads(
+                pos, length, smaller, is_head, char, blk["bs_pad"], h_pad)
+            results[bi] = dict(
+                rho=rho, h=h,
+                t=np.asarray(out_t)[:h].astype(np.int64) + blk["b0"],
+                pos=np.asarray(out_pos)[:h].astype(np.int64),
+                length=np.asarray(out_len)[:h].astype(np.int64),
+                smaller=np.asarray(out_sml)[:h].copy(),
+                char=np.asarray(out_chr)[:h].astype(np.uint8),
+                hc=np.asarray(hc)[:n].astype(np.int64),
+                tc=np.asarray(tc)[:n].astype(np.int64),
+                last_pos=int(np.asarray(last_pos)),
+                rsa=np.asarray(rsa)[:n], risa=np.asarray(risa)[:n])
+        pending = new_pending
+
+    # host fixup: block-first positions that chain from the previous block's
+    # last pos are tails, not heads
+    for bi in range(1, len(blocks)):
+        r = results[bi]
+        prev_last = results[bi - 1]["last_pos"]
+        if r["h"] and r["t"][0] == blocks[bi]["b0"] and \
+                r["pos"][0] == prev_last + 1:
+            p = int(r["pos"][0])
+            r["hc"][p] -= 1
+            r["tc"][p] += 1
+            for k in ("t", "pos", "length", "smaller", "char"):
+                r[k] = r[k][1:]
+            r["h"] -= 1
+
+    heads_cnt = np.sum([r["hc"] for r in results], axis=0)
+    tails_cnt = np.sum([r["tc"] for r in results], axis=0)
+    ref_sa = results[0]["rsa"]
+    ref_isa = results[0]["risa"]
+    ref_bwt = np.where(ref_sa > 0, x_aug[np.maximum(ref_sa - 1, 0)],
+                       np.uint8(0)).astype(np.uint8)
+    cat = lambda k, d: (np.concatenate([r[k] for r in results])
+                        if results else np.zeros(0, d))
+    head_t = cat("t", np.int64)
+    return MD.DenseHeadsResult(
+        head_t=head_t, head_pos=cat("pos", np.int64),
+        head_len=cat("length", np.int64),
+        head_smaller=cat("smaller", bool),
+        head_char=cat("char", np.uint8),
+        heads_cnt=heads_cnt, tails_cnt=tails_cnt,
+        ref_sa=ref_sa, ref_isa=ref_isa, ref_bwt=ref_bwt,
+        h=len(head_t), sn=sn,
+        irreducible=int(sum(r["rho"] for r in results)))
+
+
+def _joint_char(sx, t, sep_cum, scale_i):
+    c = int(sx[t])
+    if c == SEPARATOR:
+        return 2 * scale_i + int(sep_cum[t]) - 1
+    return c * scale_i
