@@ -188,18 +188,29 @@ def _write_outputs(cfg: Config, outname: str, index: ReferenceIndex,
             f.write(result.counter.astype("<u8").tobytes())
 
     with timer.phase("write_output"):
-        if cfg.rle:
-            data = merge_mod.runs_to_rle(result.run_len, result.run_char)
-            out_path = outname + ".rl_bwt"
-        else:
-            data = merge_mod.runs_to_plain(result.run_len, result.run_char)
-            out_path = outname + ".bwt"
-        with open(out_path, "wb") as f:
-            f.write(data)
+        from ..io import native
+        out_path = outname + (".rl_bwt" if cfg.rle else ".bwt")
+        wrote = (native.write_rle_native(out_path, result.run_len,
+                                         result.run_char)
+                 if cfg.rle else
+                 native.write_plain_native(out_path, result.run_len,
+                                           result.run_char))
+        if wrote:
+            nbytes = os.path.getsize(out_path)
+        else:  # numpy fallback
+            if cfg.rle:
+                data = merge_mod.runs_to_rle(result.run_len,
+                                             result.run_char)
+            else:
+                data = merge_mod.runs_to_plain(result.run_len,
+                                               result.run_char)
+            with open(out_path, "wb") as f:
+                f.write(data)
+            nbytes = len(data)
     with open(outname + ".log", "w") as f:
         f.write(timer.report())
         f.write(f"\nsn: {result.sn}\nheads: {result.h}\nD: {result.d}\n")
-    return {"out_path": out_path, "bytes": len(data), "timer": timer,
+    return {"out_path": out_path, "bytes": nbytes, "timer": timer,
             "result": result}
 
 

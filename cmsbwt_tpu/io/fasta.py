@@ -105,12 +105,26 @@ def _getline_lines(data: bytes) -> list[bytes]:
     return data.split(b"\n")[:-1]
 
 
-def parse_collection(path: str, sn_limit: int) -> Collection:
+def parse_collection(path: str, sn_limit: int,
+                     use_native: bool = True) -> Collection:
     """Stream the collection file into SX (ref :344-559 parsing skeleton).
 
     ``sn_limit`` is the reference's ``_sn`` = min(file size, prefixLength)
     (ref :220-226). Truncation and the EOF tail block follow the reference.
+    Uses the native C++ parser when available (io/native.py).
     """
+    if use_native:
+        from .native import parse_collection_native
+        res = parse_collection_native(path, sn_limit)
+        if res is not None:
+            sx, n_seps = res
+            sep_positions = np.nonzero(sx == SEPARATOR)[0].astype(np.int64)
+            doc_starts = np.concatenate(
+                [np.zeros(1, np.int64), sep_positions[:-1] + 1]) \
+                if n_seps else np.zeros(0, np.int64)
+            return Collection(sx=sx, sn=len(sx), n_separators=n_seps,
+                              doc_starts=doc_starts,
+                              sep_positions=sep_positions)
     with open(path, "rb") as f:
         data = f.read()
     return _parse_collection_impl(_getline_lines(data), sn_limit)

@@ -1,0 +1,145 @@
+// Native runtime IO for cmsbwt_tpu: streaming collection parser and output
+// writers. These are the host-side runtime components that the reference
+// implements in C++ (parsing: /root/reference/CMS-BWT-functions.cpp:344-559,
+// writers: :939-1085); the TPU compute path stays in JAX — this module keeps
+// the O(file) byte shuffling off the Python interpreter.
+//
+// Exposed as a C ABI consumed via ctypes (no pybind11 in the image).
+#include <cstdint>
+#include <cstdio>
+#include <cstring>
+#include <vector>
+
+extern "C" {
+
+// Parse the collection file with the reference's exact getline semantics:
+// every empty line or '>' line flushes the current document and appends one
+// separator (2); a final unterminated line is dropped; the -p cut happens
+// mid-line once charactersRead >= sn_limit - 1; the EOF block appends a
+// final separator when unfinished content remains.
+//
+// out must hold at least file_size+1 bytes. Returns sn (chars written) or
+// -1 on IO error. n_seps_out receives the separator count.
+int64_t cms_parse_collection(const char *path, uint64_t sn_limit,
+                             uint8_t *out, int64_t *n_seps_out) {
+  FILE *f = fopen(path, "rb");
+  if (!f) return -1;
+  // read whole file (collections are memory-bound anyway upstream)
+  fseek(f, 0, SEEK_END);
+  long fsize = ftell(f);
+  fseek(f, 0, SEEK_SET);
+  std::vector<uint8_t> data(fsize);
+  if (fsize && fread(data.data(), 1, fsize, f) != (size_t)fsize) {
+    fclose(f);
+    return -1;
+  }
+  fclose(f);
+
+  int64_t sn = 0;
+  int64_t n_seps = 0;
+  uint64_t characters_read = 0;
+  int64_t cur_doc_len = 0;
+  bool truncated = false;
+
+  int64_t line_start = 0;
+  // iterate complete lines only (getline .good() drops the final
+  // unterminated line)
+  for (int64_t i = 0; i < fsize && !truncated; i++) {
+    if (data[i] != '\n') continue;
+    const uint8_t *line = data.data() + line_start;
+    int64_t len = i - line_start;
+    line_start = i + 1;
+    if (len == 0 || line[0] == '>') {
+      characters_read += 1;
+      out[sn++] = 2;
+      n_seps++;
+      cur_doc_len = 0;
+    } else {
+      characters_read += len;
+      if (characters_read >= sn_limit - 1) {
+        int64_t take = len - (int64_t)(characters_read - sn_limit) - 1;
+        if (take < 0) take = 0;
+        if (take > len) take = len;
+        memcpy(out + sn, line, take);
+        sn += take;
+        cur_doc_len += take;
+        truncated = true;
+      } else {
+        memcpy(out + sn, line, len);
+        sn += len;
+        cur_doc_len += len;
+      }
+    }
+  }
+  if (cur_doc_len != 0) {
+    out[sn++] = 2;
+    n_seps++;
+  }
+  *n_seps_out = n_seps;
+  return sn;
+}
+
+// Expand runs to a plain .bwt file with a buffered writer
+// (ref :939-1002 semantics; runs are pre-assembled by the engine).
+int64_t cms_write_plain(const char *path, const int64_t *run_len,
+                        const uint8_t *run_char, int64_t n_runs) {
+  FILE *f = fopen(path, "wb");
+  if (!f) return -1;
+  const size_t BUF = 1 << 20;
+  std::vector<uint8_t> buf(BUF);
+  size_t fill = 0;
+  int64_t total = 0;
+  for (int64_t i = 0; i < n_runs; i++) {
+    int64_t l = run_len[i];
+    uint8_t c = run_char[i];
+    total += l;
+    while (l > 0) {
+      size_t room = BUF - fill;
+      size_t take = (size_t)l < room ? (size_t)l : room;
+      memset(buf.data() + fill, c, take);
+      fill += take;
+      l -= take;
+      if (fill == BUF) {
+        fwrite(buf.data(), 1, fill, f);
+        fill = 0;
+      }
+    }
+  }
+  if (fill) fwrite(buf.data(), 1, fill, f);
+  fclose(f);
+  return total;
+}
+
+// Merge adjacent equal-char runs and emit (uint64-LE length, uint8 char)
+// records (ref :1003-1085).
+int64_t cms_write_rle(const char *path, const int64_t *run_len,
+                      const uint8_t *run_char, int64_t n_runs) {
+  FILE *f = fopen(path, "wb");
+  if (!f) return -1;
+  uint64_t cur_len = 0;
+  uint8_t cur_char = 0;
+  int64_t records = 0;
+  for (int64_t i = 0; i < n_runs; i++) {
+    if (run_len[i] <= 0) continue;
+    if (run_char[i] == cur_char) {
+      cur_len += (uint64_t)run_len[i];
+    } else {
+      // the reference's prevChar=0/runLength=0 initial state never emits an
+      // empty first record because BWT chars are >= 2
+      if (cur_len > 0) {
+        fwrite(&cur_len, 8, 1, f);
+        fwrite(&cur_char, 1, 1, f);
+        records++;
+      }
+      cur_len = (uint64_t)run_len[i];
+      cur_char = run_char[i];
+    }
+  }
+  fwrite(&cur_len, 8, 1, f);
+  fwrite(&cur_char, 1, 1, f);
+  records++;
+  fclose(f);
+  return records;
+}
+
+}  // extern "C"
