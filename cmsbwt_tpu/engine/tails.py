@@ -86,23 +86,34 @@ def position_tails(index: ReferenceIndex, classes: ClassArrays,
     np.add.at(counter, ranked.slot_base[found[good]],
               classes.size[src_cls[good]])
 
-    # exact path: member-wise merge via searchsorted
+    # exact path: member-wise merge via batched searchsorted (the
+    # reference's element-wise sorted-list walk, ref :1567-1589)
     eidx = np.nonzero(exact)[0]
     if len(eidx):
-        for j in eidx:
-            sc = src_cls[j]
-            fc = found[j]
-            src_ranks = ranked.member_rank_sorted[
-                ranked.slot_base[sc]: ranked.slot_base[sc + 1]]
-            dst_ranks = ranked.member_rank_sorted[
-                ranked.slot_base[fc]: ranked.slot_base[fc + 1]]
-            p = np.searchsorted(dst_ranks, src_ranks, side="right")
-            m = len(dst_ranks)
-            inb = p < m
-            np.add.at(counter, ranked.slot_base[fc] + p[inb], 1)
-            spill = int((~inb).sum())
-            if spill and fc + 1 < cls_hi[b_idx[j]]:
-                counter[ranked.slot_base[fc + 1]] += spill
+        sc = src_cls[eidx]
+        fc = found[eidx]
+        msz = classes.size[sc]
+        tot = int(msz.sum())
+        pair_of = np.repeat(np.arange(len(eidx)), msz)
+        off = np.concatenate([[0], np.cumsum(msz)])[:-1]
+        within = np.arange(tot) - np.repeat(off, msz)
+        q = ranked.member_rank_sorted[
+            ranked.slot_base[sc][pair_of] + within]
+        dst_lo = ranked.slot_base[fc][pair_of]
+        dst_hi = ranked.slot_base[fc[pair_of] + 1]
+        # upper bound on integers == lower bound of q+1
+        p = _batched_lower_bound(ranked.member_rank_sorted, q + 1,
+                                 dst_lo, dst_hi)
+        inb = p < dst_hi
+        np.add.at(counter, p[inb], 1)           # p is already a global slot
+        # spill to the next class's base slot when it exists in the bucket
+        spill_pair = np.bincount(pair_of, weights=(~inb),
+                                 minlength=len(eidx)).astype(np.int64)
+        has_next = (fc + 1) < cls_hi[b_idx[eidx]]
+        np.add.at(counter,
+                  ranked.slot_base[np.minimum(fc + 1,
+                                              classes.n_classes)][has_next],
+                  spill_pair[has_next])
     return counter
 
 
