@@ -78,6 +78,25 @@ def _joint_sa(j: jnp.ndarray, m: int):
     return suffix_array_device(j, m)
 
 
+@functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
+def _build_joint_device(x_u8, sx_u8, n, sn, scale, sep_base,
+                        n_pad: int, sn_pad: int):
+    """Device-side joint-string construction: uploads stay uint8 (the host
+    link runs at tens of MB/s; the int32 map is 4x the bytes).
+
+    sep_base = number of separators before this block (global numbering).
+    """
+    ridx = jnp.arange(n_pad, dtype=jnp.int32)
+    jx = jnp.where(ridx < n, x_u8.astype(jnp.int32) * scale, PAD_VAL)
+    tidx = jnp.arange(sn_pad, dtype=jnp.int32)
+    sxi = sx_u8.astype(jnp.int32)
+    is_sep = (tidx < sn) & (sxi == SEPARATOR)
+    sep_rank = jnp.cumsum(is_sep.astype(jnp.int32)) - 1
+    jsx = jnp.where(tidx < sn, sxi * scale, PAD_VAL)
+    jsx = jnp.where(is_sep, 2 * scale + sep_base + sep_rank, jsx)
+    return jnp.concatenate([jx, jsx])
+
+
 @functools.partial(jax.jit, static_argnames=("m",))
 def _irreducible_slots(j, sa, isa, m: int):
     """Irreducible-LCP slots in SA order, compacted by sorting.
@@ -312,10 +331,15 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     sn_pad = bucket_size(sn) if bucketed else sn
     m = n_pad + sn_pad
     s = int((sx == SEPARATOR).sum())
-    j = jnp.asarray(build_joint_string(x_aug, sx, n_pad, sn_pad))
     n_t = jnp.int32(n)
     sn_t = jnp.int32(sn)
     scale = jnp.int32(s + 1)
+    x_u8 = np.zeros(n_pad, np.uint8)
+    x_u8[:n] = x_aug
+    sx_u8 = np.zeros(sn_pad, np.uint8)
+    sx_u8[:sn] = sx
+    j = _build_joint_device(jnp.asarray(x_u8), jnp.asarray(sx_u8), n_t,
+                            sn_t, scale, jnp.int32(0), n_pad, sn_pad)
 
     sa, isa, history = _joint_sa(j, m)
     rho_dev, ai_all, bi_all = _irreducible_slots(j, sa, isa, m)
@@ -472,20 +496,16 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             sx_blk = sx[b0:end]
             bs_pad = bucket_size(emit_len + ctx)
             m = n_pad + bs_pad
-            # joint string with GLOBAL separator numbering
-            j_host = build_joint_string(x_aug, sx_blk, n_pad, bs_pad)
-            blk_seps = np.nonzero(sx_blk == SEPARATOR)[0]
-            j_host[n_pad + blk_seps] = (
-                2 * scale_i +
-                (sep_cum[b0 + blk_seps] - 1)).astype(np.int32)
-            # re-scale the char mapping to the global scale
-            j_host[:n] = x_aug.astype(np.int32) * scale_i
-            nonsep = np.ones(len(sx_blk), bool)
-            nonsep[blk_seps] = False
-            j_host[n_pad + np.nonzero(nonsep)[0]] = (
-                sx_blk[nonsep].astype(np.int32) * scale_i)
-
-            j = jnp.asarray(j_host)
+            # joint string built on device with GLOBAL separator numbering
+            x_u8 = np.zeros(n_pad, np.uint8)
+            x_u8[:n] = x_aug
+            sx_u8 = np.zeros(bs_pad, np.uint8)
+            sx_u8[: len(sx_blk)] = sx_blk
+            sep_base = int(sep_cum[b0 - 1]) if b0 > 0 else 0
+            j = _build_joint_device(
+                jnp.asarray(x_u8), jnp.asarray(sx_u8), jnp.int32(n),
+                jnp.int32(len(sx_blk)), jnp.int32(scale_i),
+                jnp.int32(sep_base), n_pad, bs_pad)
             n_t = jnp.int32(n)
             sa, isa, history = _joint_sa(j, m)
             rho_dev, ai_all, bi_all = _irreducible_slots(j, sa, isa, m)
@@ -527,7 +547,10 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             ref_sa = np.asarray(rsa)[:n]
             ref_isa = np.asarray(risa)[:n]
         prev_pos0 = int(np.asarray(last_pos))
-        prev_j0 = int(j_host[n_pad + emit_len - 1])
+        last_t = b0 + emit_len - 1
+        c = int(sx[last_t])
+        prev_j0 = (2 * scale_i + int(sep_cum[last_t]) - 1
+                   if c == SEPARATOR else c * scale_i)
         b0 += emit_len
 
     ref_bwt = np.where(ref_sa > 0, x_aug[np.maximum(ref_sa - 1, 0)],

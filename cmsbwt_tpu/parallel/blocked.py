@@ -44,22 +44,25 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
     blocks = [dict(b0=b0, emit=min(block_chars, sn - b0), ctx=ctx_chars)
               for b0 in starts]
 
-    def build_j(blk):
+    x_u8_pad = np.zeros(n_pad, np.uint8)
+    x_u8_pad[:n] = x_aug
+
+    def build_j(blk, dev):
         b0, emit, ctx = blk["b0"], blk["emit"], blk["ctx"]
         end = min(b0 + emit + ctx, sn)
         sx_blk = sx[b0:end]
         bs_pad = bucket_size(emit + ctx)
-        j_host = np.full(n_pad + bs_pad, MD.PAD_VAL, dtype=np.int32)
-        j_host[:n] = x_aug.astype(np.int32) * scale_i
-        jsx = sx_blk.astype(np.int32) * scale_i
-        blk_seps = np.nonzero(sx_blk == SEPARATOR)[0]
-        jsx[blk_seps] = (2 * scale_i +
-                         (sep_cum[b0 + blk_seps] - 1)).astype(np.int32)
-        j_host[n_pad: n_pad + len(sx_blk)] = jsx
+        sx_u8 = np.zeros(bs_pad, np.uint8)
+        sx_u8[: len(sx_blk)] = sx_blk
+        sep_base = int(sep_cum[b0 - 1]) if b0 > 0 else 0
         blk["bs_pad"] = bs_pad
         blk["m"] = n_pad + bs_pad
-        blk["j_host"] = j_host
-        return j_host
+        blk["len_blk"] = len(sx_blk)
+        return MD._build_joint_device(
+            jax.device_put(jnp.asarray(x_u8_pad), dev),
+            jax.device_put(jnp.asarray(sx_u8), dev),
+            jnp.int32(n), jnp.int32(len(sx_blk)), jnp.int32(scale_i),
+            jnp.int32(sep_base), n_pad, bs_pad)
 
     pending = list(range(len(blocks)))
     results = [None] * len(blocks)
@@ -69,7 +72,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         for i, bi in enumerate(pending):
             blk = blocks[bi]
             dev = devices[i % len(devices)]
-            j = jax.device_put(jnp.asarray(build_j(blk)), dev)
+            j = build_j(blk, dev)
             sa, isa, history = MD._joint_sa(j, blk["m"])
             rho_dev, ai_all, bi_all = MD._irreducible_slots(
                 j, sa, isa, blk["m"])
@@ -87,7 +90,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             pred_pos, succ_pos, a, b = MD._neighbors(sa, ell, n_t, m)
             pos, length, smaller, rsa, risa = MD._assemble(
                 sa, pred_pos, succ_pos, a, b, n_t,
-                jnp.int32(blk["emit"] + blk["ctx"]), m, n_pad,
+                jnp.int32(blk["len_blk"]), m, n_pad,
                 blk["bs_pad"])
             pj0 = (jnp.int32(2 * scale_i + s_total - 1) if blk["b0"] == 0
                    else jnp.int32(int(
