@@ -85,6 +85,8 @@ def main():
     t0 = time.time()
     out = compute_bwt(cfg)
     ours_s = time.time() - t0
+    print("# phases: " + out["timer"].report().replace("\n", " | "),
+          file=sys.stderr)
     sn = out["result"].sn
     ours_tput = sn / 1e6 / ours_s
 

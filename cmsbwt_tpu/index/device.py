@@ -23,14 +23,15 @@ import numpy as np
 
 
 def _dense_rank(vals: jnp.ndarray) -> jnp.ndarray:
-    """Dense rank (ties share rank) of an int array."""
+    """Dense rank (ties share rank) of an int array — sort-based (no
+    scatter; TPU scatters serialize)."""
     n = vals.shape[0]
-    order = jnp.argsort(vals, stable=True)
-    sv = vals[order]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sv, order = jax.lax.sort((vals, idx), num_keys=1)
     changed = jnp.concatenate([jnp.ones(1, jnp.int32),
                                (sv[1:] != sv[:-1]).astype(jnp.int32)])
-    ranks_sorted = jnp.cumsum(changed) - 1
-    rank = jnp.zeros(n, jnp.int32).at[order].set(ranks_sorted.astype(jnp.int32))
+    ranks_sorted = (jnp.cumsum(changed) - 1).astype(jnp.int32)
+    _, rank = jax.lax.sort((order, ranks_sorted), num_keys=1)
     return rank
 
 
@@ -53,19 +54,31 @@ def suffix_array_device(x: jnp.ndarray, n: int
     (scatters serialize at tens of M elem/s).
     """
     levels = n_levels(n)
-    rank0 = _dense_rank(x.astype(jnp.int32))
-    history = jnp.zeros((levels, n), jnp.int32).at[0].set(rank0)
     idx = jnp.arange(n, dtype=jnp.int32)
 
+    # Seed ranks for windows of 1 and 2 without full sort rounds: dense char
+    # ranks, then packed pair ranks (char ranks are < n so a 2^31-safe pack
+    # needs the dense remap first).
+    rank0 = _dense_rank(x.astype(jnp.int32))
+    history = jnp.zeros((levels, n), jnp.int32).at[0].set(rank0)
+
+    def shifted(rank, shift):
+        padded = jnp.concatenate([rank, jnp.full(n, -1, jnp.int32)])
+        return jax.lax.dynamic_slice(padded, (shift,), (n,))
+
+    with jax.enable_x64(True):
+        pair = (rank0.astype(jnp.int64) << 32) | \
+            (shifted(rank0, jnp.int32(1)).astype(jnp.int64) + 1)
+        rank1 = _dense_rank_64(pair)
+    history = history.at[1].set(rank1)
+
     def round_k(carry, k):
-        rank, history, done = carry
+        rank, sa, history, done = carry
         shift = jnp.int32(1) << k
 
-        def do_sort(rank):
-            # rank[i + shift] as a dynamic slice of a padded copy (dense
-            # shifted load, not a gather)
-            padded = jnp.concatenate([rank, jnp.full(n, -1, jnp.int32)])
-            nxt = jax.lax.dynamic_slice(padded, (shift,), (n,))
+        def do_sort(args):
+            rank, sa = args
+            nxt = shifted(rank, shift)
             r_s, n_s, ord_s = jax.lax.sort((rank, nxt, idx), num_keys=2)
             changed = jnp.concatenate(
                 [jnp.ones(1, jnp.int32),
@@ -74,21 +87,37 @@ def suffix_array_device(x: jnp.ndarray, n: int
             new_sorted = jnp.cumsum(changed).astype(jnp.int32) - 1
             # invert the permutation by sorting (ord_s, new_sorted)
             _, new_rank = jax.lax.sort((ord_s, new_sorted), num_keys=1)
-            return new_rank
+            return new_rank, ord_s
 
-        new_rank = jax.lax.cond(done, lambda r: r, do_sort, rank)
+        new_rank, sa = jax.lax.cond(done, lambda a: a, do_sort, (rank, sa))
         history = history.at[k + 1].set(
             jnp.where(done, history[k], new_rank))
         done = done | (jnp.max(new_rank) == n - 1)
-        return (new_rank, history, done), None
+        return (new_rank, sa, history, done), None
 
-    done0 = jnp.max(rank0) == n - 1
-    (rank, history, _), _ = jax.lax.scan(
-        round_k, (rank0, history, done0),
-        jnp.arange(levels - 1, dtype=jnp.int32))
-    # sa = inverse of rank, again by sorting
-    _, sa = jax.lax.sort((rank, idx), num_keys=1)
+    done1 = jnp.max(rank1) == n - 1
+    sa1 = jnp.zeros(n, jnp.int32)
+    (rank, sa, history, done), _ = jax.lax.scan(
+        round_k, (rank1, sa1, history, done1),
+        jnp.arange(1, levels - 1, dtype=jnp.int32))
+    # if no round ran (tiny/converged input), invert rank explicitly
+    def invert(_):
+        _, s = jax.lax.sort((rank, idx), num_keys=1)
+        return s
+    sa = jax.lax.cond(done1, invert, lambda a: a, sa)
     return sa, rank, history
+
+
+def _dense_rank_64(vals: jnp.ndarray) -> jnp.ndarray:
+    """Dense rank of an int64 array (returns int32) — sort-based."""
+    n = vals.shape[0]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    sv, order = jax.lax.sort((vals, idx), num_keys=1)
+    changed = jnp.concatenate([jnp.ones(1, jnp.int32),
+                               (sv[1:] != sv[:-1]).astype(jnp.int32)])
+    ranks_sorted = (jnp.cumsum(changed) - 1).astype(jnp.int32)
+    _, rank = jax.lax.sort((order, ranks_sorted), num_keys=1)
+    return rank
 
 
 @functools.partial(jax.jit, static_argnames=("n",))
