@@ -32,10 +32,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output the run-length encoded BWT")
     p.add_argument("-o", dest="outname", default="",
                    help="basename for the output files (default: input name)")
-    p.add_argument("--backend", choices=["auto", "host", "device"],
+    p.add_argument("--backend", choices=["auto", "host", "device", "dense"],
                    default="auto", help="compute backend (default auto)")
     p.add_argument("--lanes", type=int, default=256,
-                   help="parallel MS cursors on device")
+                   help="parallel MS cursors (device backend)")
+    p.add_argument("--block-chars", type=int, default=None,
+                   help="dense backend: stream the collection in blocks of "
+                        "this many chars (bounded memory)")
+    p.add_argument("--checkpoint-dir", default=None,
+                   help="phase-boundary checkpoint/resume directory")
     p.add_argument("--no-rle-quirk", action="store_true",
                    help="emit exact RLE(plain) instead of replicating the "
                         "reference RLE writer's multi-class residual bytes")
@@ -52,6 +57,8 @@ def main(argv=None) -> int:
         prefix_length=args.prefix_length,
         backend=args.backend,
         lanes=args.lanes,
+        dense_block_chars=args.block_chars,
+        checkpoint_dir=args.checkpoint_dir,
         replicate_reference_rle_quirk=not args.no_rle_quirk,
     )
     print("==== CMS-BWT (TPU)")

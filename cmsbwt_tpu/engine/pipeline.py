@@ -110,6 +110,15 @@ def compute_bwt(cfg: Config) -> dict:
         coll = fasta.parse_collection(coll_path, sn_limit)
         fasta.validate_collection(coll)
 
+    if coll.sn == 0:
+        # empty collection -> empty BWT (the reference emits nothing)
+        if index is None:
+            index = build_reference_index(x_aug)
+        result = PipelineResult(run_len=np.zeros(0, np.int64),
+                                run_char=np.zeros(0, np.uint8),
+                                d=coll.d, sn=0, h=0)
+        return _write_outputs(cfg, outname, index, result, timer)
+
     ms = None
     if backend == "device" and coll.sn > 0:
         from ..ops.ms_device import ms_scan_device
