@@ -322,9 +322,32 @@ def _pow2_pad(x: int) -> int:
     return 1 << max(4, int(np.ceil(np.log2(max(x, 1)))))
 
 
+def _stage_timer():
+    """Optional per-stage sync timing (CMSBWT_PROFILE=1)."""
+    import os
+    import sys
+    import time
+    if not os.environ.get("CMSBWT_PROFILE"):
+        return lambda name, *arrs: None
+    state = {"t": time.time()}
+
+    def mark(name, *arrs):
+        for a in arrs:
+            try:
+                np.asarray(a[:1] if getattr(a, "ndim", 0) else a)
+            except Exception:
+                pass
+        now = time.time()
+        print(f"#   {name}: {(now - state['t']) * 1e3:.0f} ms",
+              file=sys.stderr)
+        state["t"] = now
+    return mark
+
+
 def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     from ..utils.jaxcache import bucket_size, enable_compilation_cache
     enable_compilation_cache()
+    mark = _stage_timer()
     n = len(x_aug)
     sn = len(sx)
     n_pad = bucket_size(n) if bucketed else n
@@ -340,15 +363,21 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     sx_u8[:sn] = sx
     j = _build_joint_device(jnp.asarray(x_u8), jnp.asarray(sx_u8), n_t,
                             sn_t, scale, jnp.int32(0), n_pad, sn_pad)
+    mark("upload+build_joint", j)
 
     sa, isa, history = _joint_sa(j, m)
+    mark("joint_sa", sa)
     rho_dev, ai_all, bi_all = _irreducible_slots(j, sa, isa, m)
     rho = int(np.asarray(rho_dev))
+    mark("irreducible(rho=%d)" % rho, ai_all)
     rho_pad = min(_pow2_pad(rho), m)
     ell = _lift_and_fill(history, ai_all, bi_all, sa, isa, m, rho_pad)
+    mark("lift_and_fill", ell)
     pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
+    mark("neighbors", a)
     pos, length, smaller, ref_sa, ref_isa = _assemble(
         sa, pred_pos, succ_pos, a, b, n_t, sn_t, m, n_pad, sn_pad)
+    mark("assemble", pos)
     return dict(j=j, n=n, sn=sn, n_pad=n_pad, sn_pad=sn_pad, m=m, rho=rho,
                 scale=scale, n_t=n_t, sn_t=sn_t, pos=pos, length=length,
                 smaller=smaller, ref_sa=ref_sa, ref_isa=ref_isa)
