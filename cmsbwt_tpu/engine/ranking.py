@@ -69,11 +69,34 @@ def assign_class_ranks(index: ReferenceIndex, classes: ClassArrays,
     return rank_to_head
 
 
+DEVICE_SORT_THRESHOLD = 200_000
+
+
+def _head_string_suffix_sort(rank_to_head: np.ndarray) -> np.ndarray:
+    """Suffix sort of the head rank string (replaces libsais_int, ref :648).
+
+    Large head strings go through the device prefix-doubling pipeline; small
+    ones stay on host (kernel launch overhead dominates below ~200K).
+    """
+    if len(rank_to_head) > DEVICE_SORT_THRESHOLD:
+        try:
+            import jax.numpy as jnp
+
+            from ..index.device import suffix_array_device
+            sa, _, _ = suffix_array_device(
+                jnp.asarray(rank_to_head.astype(np.int32)),
+                len(rank_to_head))
+            return np.asarray(sa)
+        except Exception:
+            pass
+    head_to_rank, _, _ = suffix_array_doubling(rank_to_head)
+    return head_to_rank
+
+
 def rank_heads(index: ReferenceIndex, classes: ClassArrays, heads: HeadArrays,
                d: int) -> RankedHeads:
     rank_to_head = assign_class_ranks(index, classes, heads, d)
-    # suffix sort of the rank string (replaces libsais_int, ref :648)
-    head_to_rank, _, _ = suffix_array_doubling(rank_to_head)
+    head_to_rank = _head_string_suffix_sort(rank_to_head)
     # final rank: skip the terminator suffix at SA position 0
     sa_body = head_to_rank[1:].astype(np.int64)        # length h
     final_rank = np.empty(heads.h, dtype=np.int64)
