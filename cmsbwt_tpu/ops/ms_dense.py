@@ -55,15 +55,18 @@ def build_joint_string(x_aug: np.ndarray, sx: np.ndarray,
     """int32 joint string with doc-ranked separators, padded to stable
     bucket sizes (host, O(m)).
 
-    Layout: [x (n) | pad | sx (sn) | pad]. Pad slots hold PAD_VAL: every
-    pad suffix starts with the unique maximal symbol so the pad block is a
-    contiguous range at the very top of the joint SA — above every real
-    suffix and below nothing that matters — and real-suffix comparisons
-    terminate at sentinels/separators before ever reading a pad char.
+    Layout: [x (n) | pad | sx (sn) | pad]. Pad slots hold DISTINCT
+    ascending values above every real symbol: the pad block is a contiguous
+    range at the very top of the joint SA — above every real suffix and
+    below nothing that matters — and real-suffix comparisons terminate at
+    sentinels/separators before ever reading a pad char. Distinctness makes
+    pad suffixes resolve at window 1, so they cannot stall the doubling's
+    early-convergence check (a constant pad forces full depth).
     """
     s = int((sx == SEPARATOR).sum())
     scale = np.int32(s + 1)
-    j = np.full(n_pad + sn_pad, PAD_VAL, dtype=np.int32)
+    m = n_pad + sn_pad
+    j = PAD_VAL + np.arange(m, dtype=np.int32)
     j[: len(x_aug)] = x_aug.astype(np.int32) * scale
     jsx = sx.astype(np.int32) * scale
     sep_idx = np.nonzero(sx == SEPARATOR)[0]
@@ -86,13 +89,16 @@ def _build_joint_device(x_u8, sx_u8, n, sn, scale, sep_base,
 
     sep_base = number of separators before this block (global numbering).
     """
+    # pads get DISTINCT ascending values above all real symbols so pad
+    # suffixes resolve at window 1 (constant pads stall early convergence)
     ridx = jnp.arange(n_pad, dtype=jnp.int32)
-    jx = jnp.where(ridx < n, x_u8.astype(jnp.int32) * scale, PAD_VAL)
+    jx = jnp.where(ridx < n, x_u8.astype(jnp.int32) * scale,
+                   PAD_VAL + ridx)
     tidx = jnp.arange(sn_pad, dtype=jnp.int32)
     sxi = sx_u8.astype(jnp.int32)
     is_sep = (tidx < sn) & (sxi == SEPARATOR)
     sep_rank = jnp.cumsum(is_sep.astype(jnp.int32)) - 1
-    jsx = jnp.where(tidx < sn, sxi * scale, PAD_VAL)
+    jsx = jnp.where(tidx < sn, sxi * scale, PAD_VAL + n_pad + tidx)
     jsx = jnp.where(is_sep, 2 * scale + sep_base + sep_rank, jsx)
     return jnp.concatenate([jx, jsx])
 
@@ -344,6 +350,14 @@ def _stage_timer():
     return mark
 
 
+def _check_alphabet_capacity(s: int, m: int) -> None:
+    """Joint symbols are char*(S+1) < PAD_VAL and pads PAD_VAL+[0,m)."""
+    if 128 * (s + 1) >= int(PAD_VAL) or int(PAD_VAL) + m >= INT_MAX:
+        raise NotImplementedError(
+            f"joint alphabet overflow: {s} separators at m={m}; dense "
+            "remapping fallback not implemented")
+
+
 def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     from ..utils.jaxcache import bucket_size, enable_compilation_cache
     enable_compilation_cache()
@@ -354,6 +368,7 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     sn_pad = bucket_size(sn) if bucketed else sn
     m = n_pad + sn_pad
     s = int((sx == SEPARATOR).sum())
+    _check_alphabet_capacity(s, m)
     n_t = jnp.int32(n)
     sn_t = jnp.int32(sn)
     scale = jnp.int32(s + 1)
@@ -485,7 +500,7 @@ def _postprocess_block(j, pos, length, smaller, n, emit_len, scale,
     char = (prev_j // scale).astype(jnp.int32)
     # truncation check: a match reaching within 2 chars of the loaded window
     # may have been cut by the pad (sn_block chars were loaded)
-    sn_block = jnp.sum((jc != PAD_VAL).astype(jnp.int32))
+    sn_block = jnp.sum((jc < PAD_VAL).astype(jnp.int32))
     viol = jnp.any(valid & (tidx + length + 2 > sn_block))
     last_pos = pos[jnp.maximum(emit_len - 1, 0)]
     return (pos, length, smaller, is_head, heads_cnt, tails_cnt, h, char,
