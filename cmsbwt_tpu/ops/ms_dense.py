@@ -103,13 +103,16 @@ def _build_joint_device(x_u8, sx_u8, n, sn, scale, sep_base,
     return jnp.concatenate([jx, jsx])
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def _irreducible_slots(j, sa, isa, m: int):
+@functools.partial(jax.jit, static_argnames=("m", "n_pad"))
+def _irreducible_slots(j, sa, isa, n, sn, m: int, n_pad: int):
     """Irreducible-LCP slots in SA order, compacted by sorting.
 
-    Returns (rho, slots_sorted, ai_sorted, bi_sorted): the first rho entries
-    of the sorted arrays are the irreducible SA slots with their text
-    position sa[r] and φ value sa[r-1].
+    Returns (rho, ai_sorted, bi_sorted): the first rho entries of the
+    sorted arrays are the irreducible slots' text position sa[r] and φ
+    value sa[r-1]. Pad text positions are excluded — their (distinct) ramp
+    symbols would make every pad slot irreducible, and their PLCP values
+    are never consumed: each real region re-anchors at its own irreducible
+    (any position preceded by a pad char is itself irreducible).
     """
     # joint BWT in SA order via one sort: payload v[i] = J[i-1] keyed by isa
     v = jnp.concatenate([jnp.full(1, -1, jnp.int32), j[:-1]])
@@ -117,7 +120,8 @@ def _irreducible_slots(j, sa, isa, m: int):
     bw_prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), bw_sa[:-1]])
     r = jnp.arange(m, dtype=jnp.int32)
     reducible = (r > 0) & (bw_sa >= 0) & (bw_sa == bw_prev)
-    irr = ~reducible
+    is_real = (sa < n) | ((sa >= n_pad) & (sa < n_pad + sn))
+    irr = ~reducible & is_real
     rho = jnp.sum(irr.astype(jnp.int32))
     sa_prev = jnp.concatenate([jnp.full(1, m, jnp.int32), sa[:-1]])
     key = jnp.where(irr, r, m)
@@ -382,7 +386,8 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
 
     sa, isa, history = _joint_sa(j, m)
     mark("joint_sa", sa)
-    rho_dev, ai_all, bi_all = _irreducible_slots(j, sa, isa, m)
+    rho_dev, ai_all, bi_all = _irreducible_slots(j, sa, isa, n_t, sn_t,
+                                                  m, n_pad)
     rho = int(np.asarray(rho_dev))
     mark("irreducible(rho=%d)" % rho, ai_all)
     rho_pad = min(_pow2_pad(rho), m)
@@ -552,7 +557,8 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
                 jnp.int32(sep_base), n_pad, bs_pad)
             n_t = jnp.int32(n)
             sa, isa, history = _joint_sa(j, m)
-            rho_dev, ai_all, bi_all = _irreducible_slots(j, sa, isa, m)
+            rho_dev, ai_all, bi_all = _irreducible_slots(
+                j, sa, isa, jnp.int32(n), jnp.int32(len(sx_blk)), m, n_pad)
             rho = int(np.asarray(rho_dev))
             rho_pad = min(_pow2_pad(rho), m)
             ell = _lift_and_fill(history, ai_all, bi_all, sa, isa, m,

@@ -75,7 +75,8 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             j = build_j(blk, dev)
             sa, isa, history = MD._joint_sa(j, blk["m"])
             rho_dev, ai_all, bi_all = MD._irreducible_slots(
-                j, sa, isa, blk["m"])
+                j, sa, isa, jnp.int32(n), jnp.int32(blk["len_blk"]),
+                blk["m"], n_pad)
             stage.append((bi, j, sa, isa, history, rho_dev, ai_all, bi_all))
         # pass 2: lift -> neighbors -> assemble -> postprocess
         out = []
