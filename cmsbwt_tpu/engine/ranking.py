@@ -83,7 +83,7 @@ def _head_string_suffix_sort(rank_to_head: np.ndarray) -> np.ndarray:
             import jax.numpy as jnp
 
             from ..index.device import suffix_array_device
-            sa, _, _ = suffix_array_device(
+            sa, _, _, _ = suffix_array_device(
                 jnp.asarray(rank_to_head.astype(np.int32)),
                 len(rank_to_head))
             return np.asarray(sa)

@@ -73,7 +73,7 @@ def suffix_array_device(x: jnp.ndarray, n: int
     history = history.at[1].set(rank1)
 
     def round_k(carry, k):
-        rank, sa, history, done = carry
+        rank, sa, history, done, k_star = carry
         shift = jnp.int32(1) << k
 
         def do_sort(args):
@@ -92,20 +92,26 @@ def suffix_array_device(x: jnp.ndarray, n: int
         new_rank, sa = jax.lax.cond(done, lambda a: a, do_sort, (rank, sa))
         history = history.at[k + 1].set(
             jnp.where(done, history[k], new_rank))
-        done = done | (jnp.max(new_rank) == n - 1)
-        return (new_rank, sa, history, done), None
+        now_done = jnp.max(new_rank) == n - 1
+        # k_star = first level with fully distinct ranks; lifts only need
+        # levels < k_star (max lcp < 2^k_star)
+        k_star = jnp.where(done, k_star,
+                           jnp.where(now_done, k + 1, k_star))
+        done = done | now_done
+        return (new_rank, sa, history, done, k_star), None
 
     done1 = jnp.max(rank1) == n - 1
     sa1 = jnp.zeros(n, jnp.int32)
-    (rank, sa, history, done), _ = jax.lax.scan(
-        round_k, (rank1, sa1, history, done1),
+    k_star0 = jnp.where(done1, 1, levels).astype(jnp.int32)
+    (rank, sa, history, done, k_star), _ = jax.lax.scan(
+        round_k, (rank1, sa1, history, done1, k_star0),
         jnp.arange(1, levels - 1, dtype=jnp.int32))
     # if no round ran (tiny/converged input), invert rank explicitly
     def invert(_):
         _, s = jax.lax.sort((rank, idx), num_keys=1)
         return s
     sa = jax.lax.cond(done1, invert, lambda a: a, sa)
-    return sa, rank, history
+    return sa, rank, history, k_star
 
 
 def _dense_rank_64(vals: jnp.ndarray) -> jnp.ndarray:
@@ -234,7 +240,7 @@ class DeviceIndex:
 def build_device_index(x_aug: np.ndarray) -> DeviceIndex:
     n = len(x_aug)
     x = jnp.asarray(x_aug)
-    sa, isa, history = suffix_array_device(x, n)
+    sa, isa, history, _ = suffix_array_device(x, n)
     lcp = lcp_device(sa, history, n)
     idx = jnp.arange(n, dtype=jnp.int32)
     plcp = jnp.maximum(lcp[isa], lcp[jnp.minimum(isa + 1, n)])

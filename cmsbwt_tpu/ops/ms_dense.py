@@ -78,7 +78,7 @@ def build_joint_string(x_aug: np.ndarray, sx: np.ndarray,
 @functools.partial(jax.jit, static_argnames=("m",))
 def _joint_sa(j: jnp.ndarray, m: int):
     from ..index.device import suffix_array_device
-    return suffix_array_device(j, m)
+    return suffix_array_device(j, m)  # (sa, isa, history, k_star)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
@@ -130,25 +130,29 @@ def _irreducible_slots(j, sa, isa, n, sn, m: int, n_pad: int):
 
 
 @functools.partial(jax.jit, static_argnames=("m", "rho_pad"))
-def _lift_and_fill(history, ai_all, bi_all, sa, isa, m: int, rho_pad: int):
+def _lift_and_fill(history, ai_all, bi_all, sa, isa, k_star, m: int,
+                   rho_pad: int):
     """Lift lcp(ai, bi) for the first rho_pad compacted pairs, fill PLCP for
-    all text positions, and return the adjacent joint LCP in SA order."""
+    all text positions, and return the adjacent joint LCP in SA order.
+
+    ``k_star`` bounds the lift: ranks are fully distinct at level k_star, so
+    every pairwise lcp is < 2^k_star and higher levels cannot match — the
+    loop runs k = k_star-1 .. 0 only (dynamic trip count)."""
     ai = jax.lax.dynamic_slice(ai_all, (0,), (rho_pad,))
     bi = jax.lax.dynamic_slice(bi_all, (0,), (rho_pad,))
     valid = ai < m
-    levels = history.shape[0]
     h = jnp.zeros(rho_pad, jnp.int32)
 
-    def level(h, k):
-        rk = history[k]
+    def body(i, h):
+        k = k_star - 1 - i
+        rk = history[jnp.maximum(k, 0)]
         va = ai + h
         vb = bi + h
         ok = valid & (va < m) & (vb < m)
         eq = ok & (rk[jnp.clip(va, 0, m - 1)] == rk[jnp.clip(vb, 0, m - 1)])
-        return h + jnp.where(eq, jnp.int32(1) << k, 0), None
+        return h + jnp.where(eq, jnp.int32(1) << k, 0)
 
-    h, _ = jax.lax.scan(level, h,
-                        jnp.arange(levels - 1, -1, -1, dtype=jnp.int32))
+    h = jax.lax.fori_loop(0, k_star, body, h)
     # scatter rho values to text order (rho-sized scatter), then cummax fill
     base = jnp.full(m, INT_MIN, jnp.int32).at[
         jnp.where(valid, ai, m)].set(
@@ -384,14 +388,15 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
                             sn_t, scale, jnp.int32(0), n_pad, sn_pad)
     mark("upload+build_joint", j)
 
-    sa, isa, history = _joint_sa(j, m)
+    sa, isa, history, k_star = _joint_sa(j, m)
     mark("joint_sa", sa)
     rho_dev, ai_all, bi_all = _irreducible_slots(j, sa, isa, n_t, sn_t,
                                                   m, n_pad)
     rho = int(np.asarray(rho_dev))
     mark("irreducible(rho=%d)" % rho, ai_all)
     rho_pad = min(_pow2_pad(rho), m)
-    ell = _lift_and_fill(history, ai_all, bi_all, sa, isa, m, rho_pad)
+    ell = _lift_and_fill(history, ai_all, bi_all, sa, isa, k_star, m,
+                         rho_pad)
     mark("lift_and_fill", ell)
     pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
     mark("neighbors", a)
@@ -556,13 +561,13 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
                 jnp.int32(len(sx_blk)), jnp.int32(scale_i),
                 jnp.int32(sep_base), n_pad, bs_pad)
             n_t = jnp.int32(n)
-            sa, isa, history = _joint_sa(j, m)
+            sa, isa, history, k_star = _joint_sa(j, m)
             rho_dev, ai_all, bi_all = _irreducible_slots(
                 j, sa, isa, jnp.int32(n), jnp.int32(len(sx_blk)), m, n_pad)
             rho = int(np.asarray(rho_dev))
             rho_pad = min(_pow2_pad(rho), m)
-            ell = _lift_and_fill(history, ai_all, bi_all, sa, isa, m,
-                                 rho_pad)
+            ell = _lift_and_fill(history, ai_all, bi_all, sa, isa,
+                                 k_star, m, rho_pad)
             pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
             pos, length, smaller, rsa, risa = _assemble(
                 sa, pred_pos, succ_pos, a, b, n_t,

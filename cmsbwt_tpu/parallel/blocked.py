@@ -73,20 +73,22 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             blk = blocks[bi]
             dev = devices[i % len(devices)]
             j = build_j(blk, dev)
-            sa, isa, history = MD._joint_sa(j, blk["m"])
+            sa, isa, history, k_star = MD._joint_sa(j, blk["m"])
             rho_dev, ai_all, bi_all = MD._irreducible_slots(
                 j, sa, isa, jnp.int32(n), jnp.int32(blk["len_blk"]),
                 blk["m"], n_pad)
-            stage.append((bi, j, sa, isa, history, rho_dev, ai_all, bi_all))
+            stage.append((bi, j, sa, isa, history, k_star, rho_dev,
+                          ai_all, bi_all))
         # pass 2: lift -> neighbors -> assemble -> postprocess
         out = []
-        for (bi, j, sa, isa, history, rho_dev, ai_all, bi_all) in stage:
+        for (bi, j, sa, isa, history, k_star, rho_dev, ai_all,
+             bi_all) in stage:
             blk = blocks[bi]
             m = blk["m"]
             rho = int(np.asarray(rho_dev))
             rho_pad = min(MD._pow2_pad(rho), m)
-            ell = MD._lift_and_fill(history, ai_all, bi_all, sa, isa, m,
-                                    rho_pad)
+            ell = MD._lift_and_fill(history, ai_all, bi_all, sa, isa,
+                                    k_star, m, rho_pad)
             n_t = jnp.int32(n)
             pred_pos, succ_pos, a, b = MD._neighbors(sa, ell, n_t, m)
             pos, length, smaller, rsa, risa = MD._assemble(
