@@ -40,6 +40,11 @@ def _combine_key(key_k: np.ndarray, isa_next: np.ndarray, n: int) -> np.ndarray:
 def position_tails(index: ReferenceIndex, classes: ClassArrays,
                    ranked: RankedHeads) -> np.ndarray:
     """Return counterSmallerThanHead (int64 [h+1], slot-indexed)."""
+    import os
+    import sys
+    import time
+    profile = bool(os.environ.get("CMSBWT_PROFILE"))
+    t0 = time.time()
     n = index.n
     h = len(ranked.member_rank_sorted)
     counter = np.zeros(h + 1, dtype=np.int64)
@@ -63,6 +68,9 @@ def position_tails(index: ReferenceIndex, classes: ClassArrays,
     total = int(cnt.sum())
     if total == 0:
         return counter
+    if profile:
+        print(f"#   tails: classes={classes.n_classes} pairs={total} "
+              f"setup={time.time() - t0:.2f}s", file=sys.stderr)
     src_cls = np.repeat(np.arange(classes.n_classes), cnt)
     offsets = np.concatenate([[0], np.cumsum(cnt)])[:-1]
     within = np.arange(total) - np.repeat(offsets, cnt)
@@ -114,6 +122,9 @@ def position_tails(index: ReferenceIndex, classes: ClassArrays,
                   ranked.slot_base[np.minimum(fc + 1,
                                               classes.n_classes)][has_next],
                   spill_pair[has_next])
+    if profile:
+        print(f"#   tails: total={time.time() - t0:.2f}s exact={len(eidx)}",
+              file=sys.stderr)
     return counter
 
 
