@@ -548,7 +548,9 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
         while True:
             end = min(b0 + emit_len + ctx, sn)
             sx_blk = sx[b0:end]
-            bs_pad = bucket_size(emit_len + ctx)
+            # fixed bucket for every block (incl. the short last one) so all
+            # blocks share one set of compiled shapes
+            bs_pad = bucket_size(block_chars + ctx)
             m = n_pad + bs_pad
             # joint string built on device with GLOBAL separator numbering
             x_u8 = np.zeros(n_pad, np.uint8)

@@ -51,7 +51,8 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         b0, emit, ctx = blk["b0"], blk["emit"], blk["ctx"]
         end = min(b0 + emit + ctx, sn)
         sx_blk = sx[b0:end]
-        bs_pad = bucket_size(emit + ctx)
+        # fixed bucket for every block so shapes are shared
+        bs_pad = bucket_size(block_chars + ctx)
         sx_u8 = np.zeros(bs_pad, np.uint8)
         sx_u8[: len(sx_blk)] = sx_blk
         sep_base = int(sep_cum[b0 - 1]) if b0 > 0 else 0
