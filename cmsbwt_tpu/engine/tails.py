@@ -71,18 +71,22 @@ def position_tails(index: ReferenceIndex, classes: ClassArrays,
     if profile:
         print(f"#   tails: classes={classes.n_classes} pairs={total} "
               f"setup={time.time() - t0:.2f}s", file=sys.stderr)
-    src_cls = np.repeat(np.arange(classes.n_classes), cnt)
+    src_cls = np.repeat(np.arange(classes.n_classes, dtype=np.int32), cnt)
     offsets = np.concatenate([[0], np.cumsum(cnt)])[:-1]
-    within = np.arange(total) - np.repeat(offsets, cnt)
-    b_idx = lo[src_cls] + within                     # index into bucket_pos
+    within = (np.arange(total, dtype=np.int64)
+              - np.repeat(offsets, cnt)).astype(np.int32)
+    b_idx = (lo.astype(np.int32)[src_cls] + within)  # index into bucket_pos
+    del within
     b = bucket_pos[b_idx]
     k = b - classes.pos[src_cls] - 1                 # tail offset in [0, untilNext)
 
     q_len = classes.length[src_cls] - 1 - k
+    del b, k
     q_small = classes.smaller[src_cls]
     q_isa = classes.isa_next[src_cls]
     q_k = np.where(q_small, q_len, 2 * np.int64(n) - q_len)
     q_combo = _combine_key(q_k, q_isa, n)
+    del q_len, q_small, q_isa, q_k
 
     # lower_bound within each bucket's class range
     found = _batched_lower_bound(combo, q_combo, cls_lo[b_idx], cls_hi[b_idx])
@@ -90,9 +94,12 @@ def position_tails(index: ReferenceIndex, classes: ClassArrays,
     exact = in_range & (combo[np.minimum(found, classes.n_classes - 1)] == q_combo)
     good = in_range & ~exact
 
-    # good path: lump-credit the source class's member count at the found base
-    np.add.at(counter, ranked.slot_base[found[good]],
-              classes.size[src_cls[good]])
+    # good path: lump-credit the source class's member count at the found
+    # base (bincount: np.add.at is ~10x slower at tens of millions)
+    gslots = ranked.slot_base[found[good]]
+    counter += np.bincount(gslots, weights=classes.size[src_cls[good]],
+                           minlength=h + 1).astype(np.int64)
+    del gslots, good, in_range
 
     # exact path: member-wise merge via batched searchsorted (the
     # reference's element-wise sorted-list walk, ref :1567-1589)
@@ -113,7 +120,7 @@ def position_tails(index: ReferenceIndex, classes: ClassArrays,
         p = _batched_lower_bound(ranked.member_rank_sorted, q + 1,
                                  dst_lo, dst_hi)
         inb = p < dst_hi
-        np.add.at(counter, p[inb], 1)           # p is already a global slot
+        counter += np.bincount(p[inb], minlength=h + 1).astype(np.int64)
         # spill to the next class's base slot when it exists in the bucket
         spill_pair = np.bincount(pair_of, weights=(~inb),
                                  minlength=len(eidx)).astype(np.int64)
