@@ -59,6 +59,22 @@ def position_tails(index: ReferenceIndex, classes: ClassArrays,
 
     combo = _combine_key(classes.key_k, classes.isa_next, n)
 
+    # native path: the per-(class, offset) credit walk at C++ speed
+    # (OpenMP); numpy fallback below
+    from ..io.native import position_tails_native
+    bmap = np.full(n, -1, dtype=np.int32)
+    bmap[bucket_pos] = np.arange(len(bucket_pos), dtype=np.int32)
+    native = position_tails_native(classes, combo, ranked.slot_base,
+                                   ranked.member_rank_sorted, bmap,
+                                   cls_lo, cls_hi, n, h)
+    if native is not None:
+        counter, stats = native
+        if profile:
+            print(f"#   tails(native): total={time.time() - t0:.2f}s "
+                  f"good={stats[0]} bad={stats[1]} skip={stats[2]}",
+                  file=sys.stderr)
+        return counter
+
     # enumerate (class, interesting bucket) pairs
     first_b = classes.pos + 1
     last_b = classes.pos + classes.until_next        # inclusive

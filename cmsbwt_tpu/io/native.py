@@ -42,7 +42,7 @@ def get_lib():
             if (not so.exists() or
                     so.stat().st_mtime < _SRC.stat().st_mtime):
                 r = subprocess.run(
-                    ["g++", "-O3", "-shared", "-fPIC", str(_SRC),
+                    ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", str(_SRC),
                      "-o", str(so)], capture_output=True)
                 if r.returncode != 0:
                     return None
@@ -60,6 +60,13 @@ def get_lib():
             lib.cms_write_rle.argtypes = [
                 ctypes.c_char_p, ctypes.POINTER(ctypes.c_int64),
                 ctypes.POINTER(ctypes.c_uint8), ctypes.c_int64]
+            I64P = ctypes.POINTER(ctypes.c_int64)
+            lib.cms_position_tails.restype = ctypes.c_int64
+            lib.cms_position_tails.argtypes = [
+                ctypes.c_int64, I64P, I64P, I64P, I64P, I64P,
+                ctypes.POINTER(ctypes.c_uint8), I64P, I64P, I64P,
+                ctypes.POINTER(ctypes.c_int32), I64P, I64P,
+                ctypes.c_int64, I64P, I64P]
             _LIB = lib
         except Exception:
             _LIB = None
@@ -107,3 +114,39 @@ def write_rle_native(path: str, run_len: np.ndarray,
         path.encode(), rl.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
         rc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), len(rl))
     return r >= 0
+
+
+def position_tails_native(classes, cls_combo, slot_base, member_rank,
+                          bmap, cls_lo, cls_hi, n_ref, h):
+    """Native tail positioning; returns (counter, stats) or None."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    import numpy as _np
+    I64 = ctypes.POINTER(ctypes.c_int64)
+    a = lambda x: _np.ascontiguousarray(x, dtype=_np.int64)
+    pos = a(classes.pos)
+    ln = a(classes.length)
+    until = a(classes.until_next)
+    size = a(classes.size)
+    isa = a(classes.isa_next)
+    smaller = _np.ascontiguousarray(classes.smaller, dtype=_np.uint8)
+    combo = a(cls_combo)
+    sb = a(slot_base)
+    mr = a(member_rank)
+    bm = _np.ascontiguousarray(bmap, dtype=_np.int32)
+    lo = a(cls_lo)
+    hi = a(cls_hi)
+    counter = _np.zeros(h + 1, dtype=_np.int64)
+    stats = _np.zeros(3, dtype=_np.int64)
+    p64 = lambda x: x.ctypes.data_as(I64)
+    r = lib.cms_position_tails(
+        ctypes.c_int64(classes.n_classes), p64(pos), p64(ln), p64(until),
+        p64(size), p64(isa),
+        smaller.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        p64(combo), p64(sb), p64(mr),
+        bm.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        p64(lo), p64(hi), ctypes.c_int64(n_ref), p64(counter), p64(stats))
+    if r != 0:
+        return None
+    return counter, stats

@@ -143,3 +143,96 @@ int64_t cms_write_rle(const char *path, const int64_t *run_len,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Tail positioning (the reference's counterSmallerThanHead accumulation,
+// ref CMS-BWT-functions.cpp:733-902 / :1517-1603) as a native loop: the
+// per-(class, offset) credit walk is branchy and list-heavy — a poor fit
+// for array expansion — but trivial at C++ speed. OpenMP over classes with
+// atomic credit updates.
+// ---------------------------------------------------------------------------
+
+// Caller passes per-class (pos, len, until, size, isa, smaller) and the
+// per-bucket class ranges over the text-order sorted class combo keys.
+extern "C" int64_t cms_position_tails(
+    int64_t n_classes, const int64_t *pos, const int64_t *len,
+    const int64_t *until, const int64_t *size, const int64_t *isa,
+    const uint8_t *smaller, const int64_t *cls_combo,  // per class, sorted
+    const int64_t *slot_base,                          // size C+1
+    const int64_t *member_rank,                        // size h
+    const int32_t *bmap,                               // size n_ref
+    const int64_t *cls_lo, const int64_t *cls_hi,      // per bucket
+    int64_t n_ref, int64_t *counter,                   // size h+1
+    int64_t *stats /* good, bad, donothing */) {
+  int64_t good = 0, bad = 0, donothing = 0;
+  const int64_t two_n = 2 * n_ref;
+  const int64_t scale = n_ref + 1;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic, 64) \
+    reduction(+ : good, bad, donothing)
+#endif
+  for (int64_t c = 0; c < n_classes; c++) {
+    const bool sm = smaller[c] != 0;
+    const int64_t lc = len[c];
+    const int64_t ic = isa[c];
+    const int64_t sz = size[c];
+    for (int64_t k = 0; k < until[c]; k++) {
+      int64_t b = pos[c] + 1 + k;
+      int32_t bid = bmap[b];
+      if (bid < 0) {
+        donothing++;
+        continue;
+      }
+      int64_t qlen = lc - 1 - k;
+      int64_t kk = sm ? qlen : two_n - qlen;
+      int64_t qkey = kk * scale + ic;
+      // lower_bound over [cls_lo[bid], cls_hi[bid])
+      int64_t lo = cls_lo[bid], hi = cls_hi[bid];
+      while (lo < hi) {
+        int64_t mid = (lo + hi) >> 1;
+        if (cls_combo[mid] < qkey)
+          lo = mid + 1;
+        else
+          hi = mid;
+      }
+      if (lo >= cls_hi[bid]) continue;  // past all classes in bucket
+      if (cls_combo[lo] != qkey) {
+        // strictly before the found class: lump credit
+        good++;
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+        counter[slot_base[lo]] += sz;
+        continue;
+      }
+      // exact: element-wise sorted merge (ref :1567-1589)
+      bad++;
+      const int64_t *src = member_rank + slot_base[c];
+      const int64_t *dst = member_rank + slot_base[lo];
+      int64_t msrc = slot_base[c + 1] - slot_base[c];
+      int64_t mdst = slot_base[lo + 1] - slot_base[lo];
+      int64_t is = 0, id = 0;
+      while (is < msrc && id < mdst) {
+        if (src[is] < dst[id]) {
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+          counter[slot_base[lo] + id] += 1;
+          is++;
+        } else {
+          id++;
+        }
+      }
+      if (is < msrc && lo + 1 < cls_hi[bid]) {
+#ifdef _OPENMP
+#pragma omp atomic
+#endif
+        counter[slot_base[lo + 1]] += msrc - is;
+      }
+    }
+  }
+  stats[0] = good;
+  stats[1] = bad;
+  stats[2] = donothing;
+  return 0;
+}
