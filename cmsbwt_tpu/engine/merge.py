@@ -38,7 +38,7 @@ def bucket_counts(index: ReferenceIndex, ms_pos: np.ndarray,
 
 def build_runs(index: ReferenceIndex, classes: ClassArrays,
                ranked: RankedHeads, counter: np.ndarray,
-               heads_cnt: np.ndarray, tails_cnt: np.ndarray,
+               tails_cnt: np.ndarray,
                d: int, rle_quirk: bool) -> tuple[np.ndarray, np.ndarray]:
     """Assemble the output as (run_len int64[], run_char uint8[]) — fully
     vectorized (no per-bucket loop).

@@ -77,8 +77,7 @@ def merge_from_heads(index: ReferenceIndex, heads, heads_cnt: np.ndarray,
         counter = tails_mod.position_tails(index, classes, ranked)
     with timer.phase("merge"):
         run_len, run_char = merge_mod.build_runs(
-            index, classes, ranked, counter, heads_cnt, tails_cnt, d,
-            rle_quirk)
+            index, classes, ranked, counter, tails_cnt, d, rle_quirk)
     return PipelineResult(run_len=run_len, run_char=run_char, d=d,
                           sn=sn, h=heads.h, counter=counter)
 

@@ -69,7 +69,7 @@ def suffix_array_device(x: jnp.ndarray, n: int
     with jax.enable_x64(True):
         pair = (rank0.astype(jnp.int64) << 32) | \
             (shifted(rank0, jnp.int32(1)).astype(jnp.int64) + 1)
-        rank1 = _dense_rank_64(pair)
+        rank1 = _dense_rank(pair)
     history = history.at[1].set(rank1)
 
     def round_k(carry, k):
@@ -112,18 +112,6 @@ def suffix_array_device(x: jnp.ndarray, n: int
         return s
     sa = jax.lax.cond(done1, invert, lambda a: a, sa)
     return sa, rank, history, k_star
-
-
-def _dense_rank_64(vals: jnp.ndarray) -> jnp.ndarray:
-    """Dense rank of an int64 array (returns int32) — sort-based."""
-    n = vals.shape[0]
-    idx = jnp.arange(n, dtype=jnp.int32)
-    sv, order = jax.lax.sort((vals, idx), num_keys=1)
-    changed = jnp.concatenate([jnp.ones(1, jnp.int32),
-                               (sv[1:] != sv[:-1]).astype(jnp.int32)])
-    ranks_sorted = (jnp.cumsum(changed) - 1).astype(jnp.int32)
-    _, rank = jax.lax.sort((order, ranks_sorted), num_keys=1)
-    return rank
 
 
 @functools.partial(jax.jit, static_argnames=("n",))

@@ -75,6 +75,12 @@ def augment_reference(ref: bytes) -> np.ndarray:
     present = np.zeros(256, dtype=bool)
     arr = np.frombuffer(ref, dtype=np.uint8)
     present[np.unique(arr)] = True
+    if present[:ALPHABET_AUGMENT_LO].any():
+        bad = int(np.argmax(present[:ALPHABET_AUGMENT_LO]))
+        raise ValueError(
+            f"reference contains reserved byte {bad} (< 3); bytes 0-2 are "
+            "the terminator/pre-terminator/separator and the reference tool "
+            "has undefined behavior for such inputs")
     extra = [c for c in range(ALPHABET_AUGMENT_LO, ALPHABET_AUGMENT_HI)
              if not present[c]]
     out = np.concatenate([

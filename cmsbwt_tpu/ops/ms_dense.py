@@ -50,31 +50,6 @@ PAD_VAL = np.int32(2**30)  # sorts above every mapped char; pad suffixes
                            # cluster at the top of the joint SA (see below)
 
 
-def build_joint_string(x_aug: np.ndarray, sx: np.ndarray,
-                       n_pad: int, sn_pad: int) -> np.ndarray:
-    """int32 joint string with doc-ranked separators, padded to stable
-    bucket sizes (host, O(m)).
-
-    Layout: [x (n) | pad | sx (sn) | pad]. Pad slots hold DISTINCT
-    ascending values above every real symbol: the pad block is a contiguous
-    range at the very top of the joint SA — above every real suffix and
-    below nothing that matters — and real-suffix comparisons terminate at
-    sentinels/separators before ever reading a pad char. Distinctness makes
-    pad suffixes resolve at window 1, so they cannot stall the doubling's
-    early-convergence check (a constant pad forces full depth).
-    """
-    s = int((sx == SEPARATOR).sum())
-    scale = np.int32(s + 1)
-    m = n_pad + sn_pad
-    j = PAD_VAL + np.arange(m, dtype=np.int32)
-    j[: len(x_aug)] = x_aug.astype(np.int32) * scale
-    jsx = sx.astype(np.int32) * scale
-    sep_idx = np.nonzero(sx == SEPARATOR)[0]
-    jsx[sep_idx] = 2 * scale + np.arange(s, dtype=np.int32)
-    j[n_pad: n_pad + len(sx)] = jsx
-    return j
-
-
 @functools.partial(jax.jit, static_argnames=("m",))
 def _joint_sa(j: jnp.ndarray, m: int):
     from ..index.device import suffix_array_device
@@ -358,12 +333,12 @@ def _stage_timer():
     return mark
 
 
-def _check_alphabet_capacity(s: int, m: int) -> None:
+def _check_alphabet_capacity(s: int, m: int, max_char: int) -> None:
     """Joint symbols are char*(S+1) < PAD_VAL and pads PAD_VAL+[0,m)."""
-    if 128 * (s + 1) >= int(PAD_VAL) or int(PAD_VAL) + m >= INT_MAX:
+    if (max_char + 1) * (s + 1) >= int(PAD_VAL) or             int(PAD_VAL) + m >= INT_MAX:
         raise NotImplementedError(
-            f"joint alphabet overflow: {s} separators at m={m}; dense "
-            "remapping fallback not implemented")
+            f"joint alphabet overflow: {s} separators, max char "
+            f"{max_char}, m={m}; dense remapping fallback not implemented")
 
 
 def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
@@ -376,7 +351,7 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     sn_pad = bucket_size(sn) if bucketed else sn
     m = n_pad + sn_pad
     s = int((sx == SEPARATOR).sum())
-    _check_alphabet_capacity(s, m)
+    _check_alphabet_capacity(s, m, int(x_aug.max()) if n else 0)
     n_t = jnp.int32(n)
     sn_t = jnp.int32(sn)
     scale = jnp.int32(s + 1)
@@ -533,6 +508,12 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
     scale_i = s_total + 1
     sep_cum = np.cumsum(sx == SEPARATOR)   # separators before position t
     n_pad = bucket_size(n)
+    _check_alphabet_capacity(
+        s_total, n_pad + bucket_size(block_chars + (ctx_chars or 0)) + 8,
+        int(x_aug.max()) if n else 0)
+    x_u8 = np.zeros(n_pad, np.uint8)
+    x_u8[:n] = x_aug
+    x_dev = jnp.asarray(x_u8)              # reference uploaded once
 
     head_parts: list[dict] = []
     heads_cnt = np.zeros(n, np.int64)
@@ -553,13 +534,11 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             bs_pad = bucket_size(block_chars + ctx)
             m = n_pad + bs_pad
             # joint string built on device with GLOBAL separator numbering
-            x_u8 = np.zeros(n_pad, np.uint8)
-            x_u8[:n] = x_aug
             sx_u8 = np.zeros(bs_pad, np.uint8)
             sx_u8[: len(sx_blk)] = sx_blk
             sep_base = int(sep_cum[b0 - 1]) if b0 > 0 else 0
             j = _build_joint_device(
-                jnp.asarray(x_u8), jnp.asarray(sx_u8), jnp.int32(n),
+                x_dev, jnp.asarray(sx_u8), jnp.int32(n),
                 jnp.int32(len(sx_blk)), jnp.int32(scale_i),
                 jnp.int32(sep_base), n_pad, bs_pad)
             n_t = jnp.int32(n)

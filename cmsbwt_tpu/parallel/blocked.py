@@ -38,6 +38,9 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
     scale_i = s_total + 1
     sep_cum = np.cumsum(sx == SEPARATOR)
     n_pad = bucket_size(n)
+    MD._check_alphabet_capacity(
+        s_total, n_pad + bucket_size(block_chars + (ctx_chars or 0)) + 8,
+        int(x_aug.max()) if n else 0)
 
     # block table
     starts = list(range(0, sn, block_chars))
