@@ -27,7 +27,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="read only a prefix of the collection file "
                         "(number of characters; default: whole file)")
     p.add_argument("-b", dest="buffer", type=int, default=2,
-                   help="additional memory buffer size in GB (default 2)")
+                   help="additional memory buffer size in GB (accepted for "
+                        "reference CLI compatibility; memory here is bounded "
+                        "by --block-chars instead)")
     p.add_argument("-r", dest="rle", action="store_true",
                    help="output the run-length encoded BWT")
     p.add_argument("-o", dest="outname", default="",

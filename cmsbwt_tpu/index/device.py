@@ -79,11 +79,14 @@ def suffix_array_device(x: jnp.ndarray, n: int
         def do_sort(args):
             rank, sa = args
             nxt = shifted(rank, shift)
-            r_s, n_s, ord_s = jax.lax.sort((rank, nxt, idx), num_keys=2)
-            changed = jnp.concatenate(
-                [jnp.ones(1, jnp.int32),
-                 ((r_s[1:] != r_s[:-1]) | (n_s[1:] != n_s[:-1])
-                  ).astype(jnp.int32)])
+            with jax.enable_x64(True):
+                # one packed int64 key instead of two int32 keys
+                key = (rank.astype(jnp.int64) << 32) | \
+                    (nxt.astype(jnp.int64) + 1)
+                k_s, ord_s = jax.lax.sort((key, idx), num_keys=1)
+                changed = jnp.concatenate(
+                    [jnp.ones(1, jnp.int32),
+                     (k_s[1:] != k_s[:-1]).astype(jnp.int32)])
             new_sorted = jnp.cumsum(changed).astype(jnp.int32) - 1
             # invert the permutation by sorting (ord_s, new_sorted)
             _, new_rank = jax.lax.sort((ord_s, new_sorted), num_keys=1)

@@ -417,6 +417,7 @@ def ms_dense(x_aug: np.ndarray, sx: np.ndarray,
 def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
                    bucketed: bool = True) -> DenseHeadsResult:
     """Dense MS with device-side head extraction (the production path)."""
+    mark = _stage_timer()
     core = _dense_core(x_aug, sx, bucketed)
     n, sn = core["n"], core["sn"]
     (pos, length, smaller, is_head, heads_cnt, tails_cnt, h_dev,
@@ -424,13 +425,16 @@ def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
                           core["smaller"], core["n_t"], core["sn_t"],
                           core["scale"], core["n_pad"], core["sn_pad"])
     h = int(np.asarray(h_dev))
+    mark("postprocess", pos)
     h_pad = min(_pow2_pad(h), core["sn_pad"])
     out_t, out_pos, out_len, out_sml, out_chr = _compact_heads(
         pos, length, smaller, is_head, char, core["sn_pad"], h_pad)
+    mark("compact_heads", out_t)
     ref_sa, ref_isa = _export_ref(core)
     x_aug_np = np.asarray(x_aug)
     ref_bwt = np.where(ref_sa > 0, x_aug_np[np.maximum(ref_sa - 1, 0)],
                        np.uint8(0)).astype(np.uint8)
+    mark("ref_export_download", ref_sa)
     return DenseHeadsResult(
         head_t=np.asarray(out_t)[:h].astype(np.int64),
         head_pos=np.asarray(out_pos)[:h].astype(np.int64),
