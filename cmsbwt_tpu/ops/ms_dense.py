@@ -141,6 +141,25 @@ def _lift_and_fill(history, ai_all, bi_all, sa, isa, k_star, m: int,
     return ell
 
 
+def _count_by_key(keys, n_keys: int):
+    """Dense histogram of int keys in [0, n_keys) (values >= n_keys are
+    dropped) without scatter-add: sort keys, scatter each run's start index
+    at its key (scatter-set), reverse-cummin fill, difference."""
+    m = keys.shape[0]
+    sk = jax.lax.sort(keys)
+    idx = jnp.arange(m, dtype=jnp.int32)
+    newk = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
+    first = jnp.full(n_keys + 1, m, jnp.int32).at[
+        jnp.where(newk & (sk < n_keys), sk, n_keys + 1)].set(
+        idx, mode="drop")
+    # number of keys < n_keys (the dropped tail starts there)
+    n_valid = jnp.sum((sk < n_keys).astype(jnp.int32))
+    first = first.at[n_keys].set(n_valid)
+    # reverse cummin to fill absent keys with the next present run start
+    fill = -jax.lax.cummax(-first[::-1])[::-1]
+    return fill[1:] - fill[:-1]
+
+
 def _seg_min_scan(vals, reset, reverse=False):
     """Segmented running min via one ``cummax`` (associative_scan's generic
     lowering OOMs the compiler at tens of millions of elements).
@@ -246,9 +265,11 @@ def _postprocess(j, pos, length, smaller, n, sn, scale,
     is_head = valid & (pos != prev + 1)
     smaller = smaller & is_head & ~sep
     # one combined scatter-add for both count arrays
-    counts = jnp.zeros(2 * n_pad, jnp.int32).at[
-        jnp.where(valid, pos + n_pad * is_head, 2 * n_pad)].add(
-        1, mode="drop")
+    # bucket counts via sort + segment boundaries (scatter-add serializes
+    # at a few M elem/s on TPU; one sort + one scatter-set is ~10x faster)
+    counts = _count_by_key(
+        jnp.where(valid, pos + n_pad * is_head.astype(jnp.int32),
+                  2 * n_pad), 2 * n_pad)
     tails_cnt = jax.lax.dynamic_slice(counts, (0,), (n_pad,))
     heads_cnt = jax.lax.dynamic_slice(counts, (n_pad,), (n_pad,))
     h = jnp.sum(is_head.astype(jnp.int32))
@@ -478,9 +499,11 @@ def _postprocess_block(j, pos, length, smaller, n, emit_len, scale,
     prev = jnp.where(tidx == 0, prev_pos0, prev)
     is_head = valid & (pos != prev + 1)
     smaller = smaller & is_head & ~sep
-    counts = jnp.zeros(2 * n_pad, jnp.int32).at[
-        jnp.where(valid, pos + n_pad * is_head, 2 * n_pad)].add(
-        1, mode="drop")
+    # bucket counts via sort + segment boundaries (scatter-add serializes
+    # at a few M elem/s on TPU; one sort + one scatter-set is ~10x faster)
+    counts = _count_by_key(
+        jnp.where(valid, pos + n_pad * is_head.astype(jnp.int32),
+                  2 * n_pad), 2 * n_pad)
     tails_cnt = jax.lax.dynamic_slice(counts, (0,), (n_pad,))
     heads_cnt = jax.lax.dynamic_slice(counts, (n_pad,), (n_pad,))
     h = jnp.sum(is_head.astype(jnp.int32))
