@@ -52,23 +52,29 @@ def compute_bwt_arrays(index: ReferenceIndex, coll: fasta.Collection,
             ms = ms_scan_collection(index, coll.sx, coll.sep_positions)
     with timer.phase("head_extract"):
         heads = heads_mod.extract_heads(index, ms, coll.sx)
-    with timer.phase("bucket_counts"):
-        heads_cnt, tails_cnt = merge_mod.bucket_counts(index, ms.pos,
-                                                       ms.is_head)
-    return merge_from_heads(index, heads, heads_cnt, tails_cnt, d,
-                            coll.sn, rle_quirk, timer)
+    return merge_from_heads(index, heads, d, coll.sn, rle_quirk, timer)
 
 
-def merge_from_heads(index: ReferenceIndex, heads, heads_cnt: np.ndarray,
-                     tails_cnt: np.ndarray, d: int, sn: int,
+def merge_from_heads(index: ReferenceIndex, heads, d: int, sn: int,
                      rle_quirk: bool,
                      timer: PhaseTimer | None = None) -> PipelineResult:
     """Downstream engine: head fixup -> grouping -> ranking -> tail
     positioning -> run assembly. Input-agnostic (host scan, device lane
-    kernel, or dense joint-sort all produce the same head records)."""
+    kernel, or dense joint-sort all produce the same head records).
+
+    Tail bucket counts are derived from the head records: head h owns tails
+    at reference positions pos_h+1 .. pos_h+to_next_h (consecutive by the
+    MS sliding property), so a difference array over those spans equals the
+    reference's bucketsForExpandedBWT tail tally (ref :368-377)."""
     timer = timer or PhaseTimer()
     with timer.phase("head_fixup"):
         heads_mod.fixup_heads(index, heads)
+    with timer.phase("bucket_counts"):
+        diff = np.zeros(index.n + 1, np.int64)
+        hn = heads.to_next > 0
+        np.add.at(diff, heads.pos[hn] + 1, 1)
+        np.add.at(diff, heads.pos[hn] + 1 + heads.to_next[hn], -1)
+        tails_cnt = np.cumsum(diff[:-1])
     with timer.phase("head_group"):
         classes = heads_mod.build_classes(index, heads)
     with timer.phase("head_rank"):
@@ -156,8 +162,6 @@ def compute_bwt(cfg: Config) -> dict:
                         "head_len": dres.head_len,
                         "head_smaller": dres.head_smaller,
                         "head_char": dres.head_char,
-                        "heads_cnt": dres.heads_cnt,
-                        "tails_cnt": dres.tails_cnt,
                         "ref_sa": dres.ref_sa, "ref_isa": dres.ref_isa,
                         "ref_bwt": dres.ref_bwt,
                         "h": np.int64(dres.h), "sn": np.int64(dres.sn),
@@ -175,8 +179,7 @@ def compute_bwt(cfg: Config) -> dict:
             to_next=np.zeros(dres.h, np.int64),
             isa_next=np.zeros(dres.h, np.int64),
             succ=np.zeros(dres.h, np.int64), h=dres.h)
-        result = merge_from_heads(index, heads, dres.heads_cnt,
-                                  dres.tails_cnt, coll.d, coll.sn,
+        result = merge_from_heads(index, heads, coll.d, coll.sn,
                                   rle_quirk=cfg.rle and
                                   cfg.replicate_reference_rle_quirk,
                                   timer=timer)

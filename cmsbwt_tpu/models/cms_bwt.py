@@ -89,8 +89,7 @@ class CMSBWT:
                 isa_next=np.zeros(dres.h, np.int64),
                 succ=np.zeros(dres.h, np.int64), h=dres.h)
             result = pipeline_mod.merge_from_heads(
-                index, heads, dres.heads_cnt, dres.tails_cnt, coll.d,
-                coll.sn, rle_quirk, timer)
+                index, heads, coll.d, coll.sn, rle_quirk, timer)
         else:
             result = pipeline_mod.compute_bwt_arrays(
                 self.index, coll, rle_quirk, timer=timer)

@@ -141,25 +141,6 @@ def _lift_and_fill(history, ai_all, bi_all, sa, isa, k_star, m: int,
     return ell
 
 
-def _count_by_key(keys, n_keys: int):
-    """Dense histogram of int keys in [0, n_keys) (values >= n_keys are
-    dropped) without scatter-add: sort keys, scatter each run's start index
-    at its key (scatter-set), reverse-cummin fill, difference."""
-    m = keys.shape[0]
-    sk = jax.lax.sort(keys)
-    idx = jnp.arange(m, dtype=jnp.int32)
-    newk = jnp.concatenate([jnp.ones(1, bool), sk[1:] != sk[:-1]])
-    first = jnp.full(n_keys + 1, m, jnp.int32).at[
-        jnp.where(newk & (sk < n_keys), sk, n_keys + 1)].set(
-        idx, mode="drop")
-    # number of keys < n_keys (the dropped tail starts there)
-    n_valid = jnp.sum((sk < n_keys).astype(jnp.int32))
-    first = first.at[n_keys].set(n_valid)
-    # reverse cummin to fill absent keys with the next present run start
-    fill = -jax.lax.cummax(-first[::-1])[::-1]
-    return fill[1:] - fill[:-1]
-
-
 def _seg_min_scan(vals, reset, reverse=False):
     """Segmented running min via one ``cummax`` (associative_scan's generic
     lowering OOMs the compiler at tens of millions of elements).
@@ -265,20 +246,16 @@ def _postprocess(j, pos, length, smaller, n, sn, scale,
     is_head = valid & (pos != prev + 1)
     smaller = smaller & is_head & ~sep
     # one combined scatter-add for both count arrays
-    # bucket counts via sort + segment boundaries (scatter-add serializes
-    # at a few M elem/s on TPU; one sort + one scatter-set is ~10x faster)
-    counts = _count_by_key(
-        jnp.where(valid, pos + n_pad * is_head.astype(jnp.int32),
-                  2 * n_pad), 2 * n_pad)
-    tails_cnt = jax.lax.dynamic_slice(counts, (0,), (n_pad,))
-    heads_cnt = jax.lax.dynamic_slice(counts, (n_pad,), (n_pad,))
+    # bucket counts are NOT computed here: every device scatter variant
+    # serializes at a few M elem/s; the merge engine derives tail counts
+    # from head records (to_next spans) on the host instead
     h = jnp.sum(is_head.astype(jnp.int32))
     # head BWT char: previous collection char, cyclic (extract_heads rule);
     # recover the byte from the joint mapping (c*scale, separators -> 2)
     prev_j = jnp.concatenate([jc[:1], jc[:-1]])
     prev_j = jnp.where(tidx == 0, jc[jnp.maximum(sn - 1, 0)], prev_j)
     char = (prev_j // scale).astype(jnp.int32)
-    return pos, length, smaller, is_head, heads_cnt, tails_cnt, h, char
+    return pos, length, smaller, is_head, h, char
 
 
 @functools.partial(jax.jit, static_argnames=("sn_pad", "h_pad"))
@@ -318,8 +295,6 @@ class DenseHeadsResult:
     head_len: np.ndarray
     head_smaller: np.ndarray
     head_char: np.ndarray
-    heads_cnt: np.ndarray
-    tails_cnt: np.ndarray
     ref_sa: np.ndarray
     ref_isa: np.ndarray
     ref_bwt: np.ndarray
@@ -417,7 +392,7 @@ def ms_dense(x_aug: np.ndarray, sx: np.ndarray,
     small-input path; production uses ms_dense_heads)."""
     core = _dense_core(x_aug, sx, bucketed)
     n, sn = core["n"], core["sn"]
-    (pos, length, smaller, is_head, heads_cnt, tails_cnt, h_dev,
+    (pos, length, smaller, is_head, h_dev,
      char) = _postprocess(core["j"], core["pos"], core["length"],
                           core["smaller"], core["n_t"], core["sn_t"],
                           core["scale"], core["n_pad"], core["sn_pad"])
@@ -441,7 +416,7 @@ def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
     mark = _stage_timer()
     core = _dense_core(x_aug, sx, bucketed)
     n, sn = core["n"], core["sn"]
-    (pos, length, smaller, is_head, heads_cnt, tails_cnt, h_dev,
+    (pos, length, smaller, is_head, h_dev,
      char) = _postprocess(core["j"], core["pos"], core["length"],
                           core["smaller"], core["n_t"], core["sn_t"],
                           core["scale"], core["n_pad"], core["sn_pad"])
@@ -462,8 +437,6 @@ def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
         head_len=np.asarray(out_len)[:h].astype(np.int64),
         head_smaller=np.asarray(out_sml)[:h],
         head_char=np.asarray(out_chr)[:h].astype(np.uint8),
-        heads_cnt=np.asarray(heads_cnt)[:n].astype(np.int64),
-        tails_cnt=np.asarray(tails_cnt)[:n].astype(np.int64),
         ref_sa=ref_sa, ref_isa=ref_isa, ref_bwt=ref_bwt,
         h=h, sn=sn, irreducible=core["rho"])
 
@@ -499,13 +472,9 @@ def _postprocess_block(j, pos, length, smaller, n, emit_len, scale,
     prev = jnp.where(tidx == 0, prev_pos0, prev)
     is_head = valid & (pos != prev + 1)
     smaller = smaller & is_head & ~sep
-    # bucket counts via sort + segment boundaries (scatter-add serializes
-    # at a few M elem/s on TPU; one sort + one scatter-set is ~10x faster)
-    counts = _count_by_key(
-        jnp.where(valid, pos + n_pad * is_head.astype(jnp.int32),
-                  2 * n_pad), 2 * n_pad)
-    tails_cnt = jax.lax.dynamic_slice(counts, (0,), (n_pad,))
-    heads_cnt = jax.lax.dynamic_slice(counts, (n_pad,), (n_pad,))
+    # bucket counts are NOT computed here: every device scatter variant
+    # serializes at a few M elem/s; the merge engine derives tail counts
+    # from head records (to_next spans) on the host instead
     h = jnp.sum(is_head.astype(jnp.int32))
     prev_j = jnp.concatenate([jc[:1], jc[:-1]])
     prev_j = jnp.where(tidx == 0, prev_j0, prev_j)
@@ -515,8 +484,7 @@ def _postprocess_block(j, pos, length, smaller, n, emit_len, scale,
     sn_block = jnp.sum((jc < PAD_VAL).astype(jnp.int32))
     viol = jnp.any(valid & (tidx + length + 2 > sn_block))
     last_pos = pos[jnp.maximum(emit_len - 1, 0)]
-    return (pos, length, smaller, is_head, heads_cnt, tails_cnt, h, char,
-            viol, last_pos)
+    return (pos, length, smaller, is_head, h, char, viol, last_pos)
 
 
 def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
@@ -543,8 +511,6 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
     x_dev = jnp.asarray(x_u8)              # reference uploaded once
 
     head_parts: list[dict] = []
-    heads_cnt = np.zeros(n, np.int64)
-    tails_cnt = np.zeros(n, np.int64)
     ref_sa = ref_isa = None
     prev_pos0 = -2
     prev_j0 = None  # joint value of sx[b0-1]
@@ -584,7 +550,7 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
                 pj0 = jnp.int32(2 * scale_i + s_total - 1)  # final separator
             else:
                 pj0 = jnp.int32(prev_j0)
-            (pos, length, smaller, is_head, hc, tc, h_dev, char, viol,
+            (pos, length, smaller, is_head, h_dev, char, viol,
              last_pos) = _postprocess_block(
                 j, pos, length, smaller, n_t, jnp.int32(emit_len),
                 jnp.int32(scale_i), jnp.int32(prev_pos0), pj0,
@@ -604,8 +570,6 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             length=np.asarray(out_len)[:h].astype(np.int64),
             smaller=np.asarray(out_sml)[:h],
             char=np.asarray(out_chr)[:h].astype(np.uint8)))
-        heads_cnt += np.asarray(hc)[:n]
-        tails_cnt += np.asarray(tc)[:n]
         if ref_sa is None:
             ref_sa = np.asarray(rsa)[:n]
             ref_isa = np.asarray(risa)[:n]
@@ -625,6 +589,5 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
         head_t=head_t, head_pos=cat("pos"), head_len=cat("length"),
         head_smaller=np.concatenate([p["smaller"] for p in head_parts]),
         head_char=np.concatenate([p["char"] for p in head_parts]),
-        heads_cnt=heads_cnt, tails_cnt=tails_cnt,
         ref_sa=ref_sa, ref_isa=ref_isa, ref_bwt=ref_bwt,
         h=len(head_t), sn=sn, irreducible=total_rho)

@@ -102,16 +102,16 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             pj0 = (jnp.int32(2 * scale_i + s_total - 1) if blk["b0"] == 0
                    else jnp.int32(int(
                        _joint_char(sx, blk["b0"] - 1, sep_cum, scale_i))))
-            (pos, length, smaller, is_head, hc, tc, h_dev, char, viol,
+            (pos, length, smaller, is_head, h_dev, char, viol,
              last_pos) = MD._postprocess_block(
                 j, pos, length, smaller, n_t, jnp.int32(blk["emit"]),
                 jnp.int32(scale_i), jnp.int32(-2), pj0, n_pad,
                 blk["bs_pad"])
-            out.append((bi, rho, pos, length, smaller, is_head, hc, tc,
+            out.append((bi, rho, pos, length, smaller, is_head,
                         h_dev, char, viol, last_pos, rsa, risa))
         # pass 3: check violations, compact, download
         new_pending = []
-        for (bi, rho, pos, length, smaller, is_head, hc, tc, h_dev, char,
+        for (bi, rho, pos, length, smaller, is_head, h_dev, char,
              viol, last_pos, rsa, risa) in out:
             blk = blocks[bi]
             end = min(blk["b0"] + blk["emit"] + blk["ctx"], sn)
@@ -130,8 +130,6 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
                 length=np.asarray(out_len)[:h].astype(np.int64),
                 smaller=np.asarray(out_sml)[:h].copy(),
                 char=np.asarray(out_chr)[:h].astype(np.uint8),
-                hc=np.asarray(hc)[:n].astype(np.int64),
-                tc=np.asarray(tc)[:n].astype(np.int64),
                 last_pos=int(np.asarray(last_pos)),
                 rsa=np.asarray(rsa)[:n], risa=np.asarray(risa)[:n])
         pending = new_pending
@@ -143,15 +141,10 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         prev_last = results[bi - 1]["last_pos"]
         if r["h"] and r["t"][0] == blocks[bi]["b0"] and \
                 r["pos"][0] == prev_last + 1:
-            p = int(r["pos"][0])
-            r["hc"][p] -= 1
-            r["tc"][p] += 1
             for k in ("t", "pos", "length", "smaller", "char"):
                 r[k] = r[k][1:]
             r["h"] -= 1
 
-    heads_cnt = np.sum([r["hc"] for r in results], axis=0)
-    tails_cnt = np.sum([r["tc"] for r in results], axis=0)
     ref_sa = results[0]["rsa"]
     ref_isa = results[0]["risa"]
     ref_bwt = np.where(ref_sa > 0, x_aug[np.maximum(ref_sa - 1, 0)],
@@ -164,7 +157,6 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         head_len=cat("length", np.int64),
         head_smaller=cat("smaller", bool),
         head_char=cat("char", np.uint8),
-        heads_cnt=heads_cnt, tails_cnt=tails_cnt,
         ref_sa=ref_sa, ref_isa=ref_isa, ref_bwt=ref_bwt,
         h=len(head_t), sn=sn,
         irreducible=int(sum(r["rho"] for r in results)))

@@ -23,8 +23,6 @@ def assert_same(a, b):
     np.testing.assert_array_equal(a.head_len, b.head_len)
     np.testing.assert_array_equal(a.head_smaller, b.head_smaller)
     np.testing.assert_array_equal(a.head_char, b.head_char)
-    np.testing.assert_array_equal(a.heads_cnt, b.heads_cnt)
-    np.testing.assert_array_equal(a.tails_cnt, b.tails_cnt)
     np.testing.assert_array_equal(a.ref_sa, b.ref_sa)
     assert a.h == b.h
 
@@ -85,7 +83,7 @@ def test_blocked_end_to_end_parity(tmp_path):
         to_next=np.zeros(dres.h, np.int64),
         isa_next=np.zeros(dres.h, np.int64),
         succ=np.zeros(dres.h, np.int64), h=dres.h)
-    result = merge_from_heads(index, heads, dres.heads_cnt, dres.tails_cnt,
-                              coll.d, coll.sn, rle_quirk=False)
+    result = merge_from_heads(index, heads, coll.d, coll.sn,
+                              rle_quirk=False)
     got = runs_to_plain(result.run_len, result.run_char)
     assert got == brute_multidoc_bwt(coll.sx)
