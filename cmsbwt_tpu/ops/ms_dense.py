@@ -254,21 +254,27 @@ def _postprocess(j, pos, length, smaller, n, sn, scale,
     # recover the byte from the joint mapping (c*scale, separators -> 2)
     prev_j = jnp.concatenate([jc[:1], jc[:-1]])
     prev_j = jnp.where(tidx == 0, jc[jnp.maximum(sn - 1, 0)], prev_j)
-    char = (prev_j // scale).astype(jnp.int32)
-    return pos, length, smaller, is_head, h, char
+    # NOTE: the byte is prev_j // scale, but 24M integer divisions cost
+    # seconds on the VPU — divide after head compaction instead
+    return pos, length, smaller, is_head, h, prev_j
 
 
 @functools.partial(jax.jit, static_argnames=("sn_pad", "h_pad"))
-def _compact_heads(pos, length, smaller, is_head, char,
+def _compact_heads(pos, length, smaller, is_head, char, scale,
                    sn_pad: int, h_pad: int):
-    """Order-preserving head compaction via one multi-operand sort."""
+    """Order-preserving head compaction via one multi-operand sort.
+
+    ``char`` carries raw joint values; the byte (value // scale) is
+    recovered on the h_pad-sized compacted slice only (integer division
+    over the full collection costs seconds on the VPU)."""
     tidx = jnp.arange(sn_pad, dtype=jnp.int32)
     key = jnp.where(is_head, tidx, INT_MAX)
     _, t_s, pos_s, len_s, sml_s, chr_s = jax.lax.sort(
         (key, tidx, pos, length, smaller.astype(jnp.int32), char),
         num_keys=1)
     sl = lambda x: jax.lax.dynamic_slice(x, (0,), (h_pad,))
-    return sl(t_s), sl(pos_s), sl(len_s), sl(sml_s) != 0, sl(chr_s)
+    chr_b = (sl(chr_s) // scale).astype(jnp.int32)
+    return sl(t_s), sl(pos_s), sl(len_s), sl(sml_s) != 0, chr_b
 
 
 @dataclass
@@ -424,7 +430,8 @@ def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
     mark("postprocess", pos)
     h_pad = min(_pow2_pad(h), core["sn_pad"])
     out_t, out_pos, out_len, out_sml, out_chr = _compact_heads(
-        pos, length, smaller, is_head, char, core["sn_pad"], h_pad)
+        pos, length, smaller, is_head, char, core["scale"],
+        core["sn_pad"], h_pad)
     mark("compact_heads", out_t)
     ref_sa, ref_isa = _export_ref(core)
     x_aug_np = np.asarray(x_aug)
@@ -478,7 +485,7 @@ def _postprocess_block(j, pos, length, smaller, n, emit_len, scale,
     h = jnp.sum(is_head.astype(jnp.int32))
     prev_j = jnp.concatenate([jc[:1], jc[:-1]])
     prev_j = jnp.where(tidx == 0, prev_j0, prev_j)
-    char = (prev_j // scale).astype(jnp.int32)
+    char = prev_j  # raw joint value; byte recovered after compaction
     # truncation check: a match reaching within 2 chars of the loaded window
     # may have been cut by the pad (sn_block chars were loaded)
     sn_block = jnp.sum((jc < PAD_VAL).astype(jnp.int32))
@@ -563,7 +570,8 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
         h = int(np.asarray(h_dev))
         h_pad = min(_pow2_pad(h), bs_pad)
         out_t, out_pos, out_len, out_sml, out_chr = _compact_heads(
-            pos, length, smaller, is_head, char, bs_pad, h_pad)
+            pos, length, smaller, is_head, char, jnp.int32(scale_i),
+            bs_pad, h_pad)
         head_parts.append(dict(
             t=np.asarray(out_t)[:h].astype(np.int64) + b0,
             pos=np.asarray(out_pos)[:h].astype(np.int64),

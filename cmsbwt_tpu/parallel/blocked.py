@@ -122,7 +122,8 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             h = int(np.asarray(h_dev))
             h_pad = min(MD._pow2_pad(h), blk["bs_pad"])
             out_t, out_pos, out_len, out_sml, out_chr = MD._compact_heads(
-                pos, length, smaller, is_head, char, blk["bs_pad"], h_pad)
+                pos, length, smaller, is_head, char, jnp.int32(scale_i),
+                blk["bs_pad"], h_pad)
             results[bi] = dict(
                 rho=rho, h=h,
                 t=np.asarray(out_t)[:h].astype(np.int64) + blk["b0"],
