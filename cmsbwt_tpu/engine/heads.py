@@ -123,14 +123,18 @@ def fixup_heads(index: ReferenceIndex, heads: HeadArrays) -> None:
 def build_classes(index: ReferenceIndex, heads: HeadArrays) -> ClassArrays:
     """Group heads into (pos, len, isaNext) classes (ref map insert :594-603)."""
     n = index.n
-    # insertion order is (pos, idx); lexsort final key = primary
-    order = np.lexsort((np.arange(heads.h), heads.isa_next, heads.length,
-                        heads.pos))
+    # pack (length, isaNext) into one int64 key (both < n+1 <= 2^31) so the
+    # grouping sort is 2 stable passes instead of 4; stability preserves
+    # idx (insertion) order within groups
+    scale = np.int64(n + 1)
+    pack_li = heads.length * scale + heads.isa_next
+    order = np.lexsort((pack_li, heads.pos))
     p = heads.pos[order]
+    la = pack_li[order]
+    new_grp = np.ones(heads.h, dtype=bool)
+    new_grp[1:] = (p[1:] != p[:-1]) | (la[1:] != la[:-1])
     l = heads.length[order]
     a = heads.isa_next[order]
-    new_grp = np.ones(heads.h, dtype=bool)
-    new_grp[1:] = (p[1:] != p[:-1]) | (l[1:] != l[:-1]) | (a[1:] != a[:-1])
     gid = np.cumsum(new_grp) - 1
     n_classes = int(gid[-1]) + 1 if heads.h else 0
     first = np.nonzero(new_grp)[0]
@@ -146,7 +150,8 @@ def build_classes(index: ReferenceIndex, heads: HeadArrays) -> ClassArrays:
     key_k = np.where(cls_smaller, cls_len, 2 * np.int64(n) - cls_len)
 
     # member storage grouped by class in TEXT order (pos, K, isaNext):
-    text_order = np.lexsort((cls_isa, key_k, cls_pos))
+    pack_ki = key_k * scale + cls_isa
+    text_order = np.lexsort((pack_ki, cls_pos))
     rank_of_class = np.empty(n_classes, dtype=np.int64)
     rank_of_class[text_order] = np.arange(n_classes)
     # reorder members: sort heads by (text-ordered class, head idx)

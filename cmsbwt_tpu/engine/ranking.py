@@ -38,7 +38,8 @@ def class_sa_order(index: ReferenceIndex, classes: ClassArrays) -> np.ndarray:
     """Classes ordered by (ISA[pos], comparator) — the rank-assignment walk
     order (ref :630-643). Returns a permutation of text-order class ids."""
     isa_pos = index.isa[classes.pos].astype(np.int64)
-    return np.lexsort((classes.isa_next, classes.key_k, isa_pos))
+    scale = np.int64(index.n + 1)
+    return np.lexsort((classes.key_k * scale + classes.isa_next, isa_pos))
 
 
 def assign_class_ranks(index: ReferenceIndex, classes: ClassArrays,
@@ -111,7 +112,9 @@ def rank_heads(index: ReferenceIndex, classes: ClassArrays, heads: HeadArrays,
     # sort members within each class by succ rank
     cls_of_member = np.repeat(np.arange(classes.n_classes),
                               np.diff(classes.member_off))
-    order = np.lexsort((member_rank, cls_of_member))
+    # single-key argsort on packed (class, rank)
+    order = np.argsort(cls_of_member * np.int64(heads.h + 1) + member_rank,
+                       kind="stable")
     member_rank_sorted = member_rank[order]
     member_head_sorted = classes.member_head[order]
     slot_of_head = np.empty(heads.h, dtype=np.int64)
