@@ -12,7 +12,9 @@ vs_baseline= our_throughput / reference_binary_throughput on the identical
 Workload (override via env):
   BENCH_REF_MBP   reference megabases          (default 2)
   BENCH_DOCS      number of mutated copies     (default 10)
-  BENCH_SNP       SNP rate                     (default 0.001)
+  BENCH_SNP       SNP rate                     (default 0.01 — the E. coli
+                  strain-collection divergence regime, BASELINE.json
+                  config #2; 0.001 reproduces the pangenome toy config)
   BENCH_BACKEND   dense | device | host        (default dense)
 """
 import json
@@ -69,7 +71,7 @@ def run_reference(tmp: pathlib.Path, lst: pathlib.Path) -> float:
 def main():
     ref_mbp = float(os.environ.get("BENCH_REF_MBP", "2"))
     ndocs = int(os.environ.get("BENCH_DOCS", "10"))
-    snp = float(os.environ.get("BENCH_SNP", "0.001"))
+    snp = float(os.environ.get("BENCH_SNP", "0.01"))
     backend = os.environ.get("BENCH_BACKEND", "dense")
 
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="cmsbench_"))
