@@ -29,6 +29,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..index.host import ReferenceIndex
+from ..io.native import lexsort_native
 from .ms_host import MSArrays
 
 
@@ -128,7 +129,7 @@ def build_classes(index: ReferenceIndex, heads: HeadArrays) -> ClassArrays:
     # idx (insertion) order within groups
     scale = np.int64(n + 1)
     pack_li = heads.length * scale + heads.isa_next
-    order = np.lexsort((pack_li, heads.pos))
+    order = lexsort_native([pack_li, heads.pos])
     p = heads.pos[order]
     la = pack_li[order]
     new_grp = np.ones(heads.h, dtype=bool)
@@ -151,11 +152,11 @@ def build_classes(index: ReferenceIndex, heads: HeadArrays) -> ClassArrays:
 
     # member storage grouped by class in TEXT order (pos, K, isaNext):
     pack_ki = key_k * scale + cls_isa
-    text_order = np.lexsort((pack_ki, cls_pos))
+    text_order = lexsort_native([pack_ki, cls_pos])
     rank_of_class = np.empty(n_classes, dtype=np.int64)
     rank_of_class[text_order] = np.arange(n_classes)
     # reorder members: sort heads by (text-ordered class, head idx)
-    member_sort = np.lexsort((order, rank_of_class[gid]))
+    member_sort = lexsort_native([order, rank_of_class[gid]])
     member_head = order[member_sort]
     sizes_text = cls_size[text_order]
     member_off = np.concatenate([[0], np.cumsum(sizes_text)])

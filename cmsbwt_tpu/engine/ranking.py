@@ -20,6 +20,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..index.host import ReferenceIndex, suffix_array_doubling
+from ..io.native import argsort_native, lexsort_native
 from .heads import ClassArrays, HeadArrays
 
 
@@ -39,7 +40,8 @@ def class_sa_order(index: ReferenceIndex, classes: ClassArrays) -> np.ndarray:
     order (ref :630-643). Returns a permutation of text-order class ids."""
     isa_pos = index.isa[classes.pos].astype(np.int64)
     scale = np.int64(index.n + 1)
-    return np.lexsort((classes.key_k * scale + classes.isa_next, isa_pos))
+    return lexsort_native([classes.key_k * scale + classes.isa_next,
+                           isa_pos])
 
 
 def assign_class_ranks(index: ReferenceIndex, classes: ClassArrays,
@@ -113,8 +115,8 @@ def rank_heads(index: ReferenceIndex, classes: ClassArrays, heads: HeadArrays,
     cls_of_member = np.repeat(np.arange(classes.n_classes),
                               np.diff(classes.member_off))
     # single-key argsort on packed (class, rank)
-    order = np.argsort(cls_of_member * np.int64(heads.h + 1) + member_rank,
-                       kind="stable")
+    order = argsort_native(cls_of_member * np.int64(heads.h + 1)
+                           + member_rank)
     member_rank_sorted = member_rank[order]
     member_head_sorted = classes.member_head[order]
     slot_of_head = np.empty(heads.h, dtype=np.int64)

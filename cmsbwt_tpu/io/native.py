@@ -150,3 +150,39 @@ def position_tails_native(classes, cls_combo, slot_base, member_rank,
     if r != 0:
         return None
     return counter, stats
+
+
+def _bind_argsort(lib):
+    import ctypes as _ct
+    if not hasattr(lib, "_argsort_bound"):
+        lib.cms_stable_argsort_i64.restype = _ct.c_int64
+        lib.cms_stable_argsort_i64.argtypes = [
+            _ct.POINTER(_ct.c_int64), _ct.POINTER(_ct.c_int64), _ct.c_int64]
+        lib._argsort_bound = True
+
+
+def lexsort_native(keys_last_primary, size_threshold: int = 1 << 20):
+    """np.lexsort drop-in backed by the native parallel stable sort.
+
+    ``keys_last_primary``: sequence of int arrays, last key most significant
+    (np.lexsort convention). Falls back to np.lexsort when the native lib is
+    unavailable or the input is small.
+    """
+    lib = get_lib()
+    m = len(keys_last_primary[0])
+    if lib is None or m < size_threshold:
+        return np.lexsort(tuple(keys_last_primary))
+    _bind_argsort(lib)
+    import ctypes as _ct
+    perm = np.arange(m, dtype=np.int64)
+    pp = perm.ctypes.data_as(_ct.POINTER(_ct.c_int64))
+    for k in keys_last_primary:  # least significant first, stable chain
+        ka = np.ascontiguousarray(k, dtype=np.int64)
+        lib.cms_stable_argsort_i64(
+            ka.ctypes.data_as(_ct.POINTER(_ct.c_int64)), pp, m)
+    return perm
+
+
+def argsort_native(keys, size_threshold: int = 1 << 20):
+    """Stable single-key argsort via the native parallel sort."""
+    return lexsort_native([keys], size_threshold)

@@ -236,3 +236,38 @@ extern "C" int64_t cms_position_tails(
   stats[2] = donothing;
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Parallel stable argsort for the host merge engine's big key arrays
+// (numpy's single-threaded sorts dominate at tens of millions of heads).
+// Sorts perm (in/out) so that keys[perm] is ascending; stable with respect
+// to the incoming perm order, i.e. chained calls implement lexsort.
+// ---------------------------------------------------------------------------
+#if defined(_OPENMP)
+#include <parallel/algorithm>
+#define CMS_STABLE_SORT __gnu_parallel::stable_sort
+#else
+#include <algorithm>
+#define CMS_STABLE_SORT std::stable_sort
+#endif
+
+extern "C" int64_t cms_stable_argsort_i64(const int64_t *keys, int64_t *perm,
+                                          int64_t m) {
+  // pair-array sort (cache-friendly) beats an indirect comparator
+  struct KV {
+    int64_t k;
+    int64_t v;
+  };
+  std::vector<KV> buf(m);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < m; i++) buf[i] = {keys[perm[i]], perm[i]};
+  CMS_STABLE_SORT(buf.begin(), buf.end(),
+                  [](const KV &a, const KV &b) { return a.k < b.k; });
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < m; i++) perm[i] = buf[i].v;
+  return 0;
+}
