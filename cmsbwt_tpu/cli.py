@@ -41,6 +41,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--block-chars", type=int, default=None,
                    help="dense backend: stream the collection in blocks of "
                         "this many chars (bounded memory)")
+    p.add_argument("--parallel", action="store_true",
+                   help="fan dense blocks out over all local devices")
     p.add_argument("--checkpoint-dir", default=None,
                    help="phase-boundary checkpoint/resume directory")
     p.add_argument("--no-rle-quirk", action="store_true",
@@ -60,6 +62,7 @@ def main(argv=None) -> int:
         backend=args.backend,
         lanes=args.lanes,
         dense_block_chars=args.block_chars,
+        dense_parallel=args.parallel,
         checkpoint_dir=args.checkpoint_dir,
         replicate_reference_rle_quirk=not args.no_rle_quirk,
     )

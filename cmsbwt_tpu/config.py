@@ -44,6 +44,7 @@ class Config:
     mesh_shape: Optional[tuple] = None  # None = single device
     dense_block_chars: Optional[int] = None  # None = single joint sort;
                                     # else stream the collection in blocks
+    dense_parallel: bool = False    # fan blocks out over all local devices
     dense_ctx_chars: Optional[int] = None    # right-context per block
     checkpoint_dir: Optional[str] = None  # phase-boundary checkpoint/resume
     replicate_reference_rle_quirk: bool = True  # reproduce ref RLE residual quirk

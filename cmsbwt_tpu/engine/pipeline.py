@@ -149,6 +149,11 @@ def compute_bwt(cfg: Config) -> dict:
                 dres = DenseHeadsResult(
                     h=int(cached.pop("h")), sn=int(cached.pop("sn")),
                     irreducible=int(cached.pop("irreducible")), **cached)
+            elif cfg.dense_block_chars and cfg.dense_parallel:
+                from ..parallel.blocked import ms_dense_heads_parallel
+                dres = ms_dense_heads_parallel(
+                    x_aug, coll.sx, block_chars=cfg.dense_block_chars,
+                    ctx_chars=cfg.dense_ctx_chars)
             elif cfg.dense_block_chars:
                 from ..ops.ms_dense import ms_dense_heads_blocked
                 dres = ms_dense_heads_blocked(
