@@ -25,7 +25,9 @@ from ..ops import ms_dense as MD
 
 def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
                             block_chars: int, ctx_chars: int | None = None,
-                            devices=None) -> MD.DenseHeadsResult:
+                            devices=None,
+                            blocks_in_flight: int | None = None
+                            ) -> MD.DenseHeadsResult:
     from ..utils.jaxcache import bucket_size, enable_compilation_cache
     enable_compilation_cache()
     if devices is None:
@@ -68,12 +70,18 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             jnp.int32(n), jnp.int32(len(sx_blk)), jnp.int32(scale_i),
             jnp.int32(sep_base), n_pad, bs_pad)
 
+    if blocks_in_flight is None:
+        # two blocks per device keeps the queue busy between host syncs;
+        # each in-flight block holds its rank history (~levels*m_b int32)
+        blocks_in_flight = 2 * len(devices)
     pending = list(range(len(blocks)))
     results = [None] * len(blocks)
     while pending:
+        wave, pending = (pending[:blocks_in_flight],
+                         pending[blocks_in_flight:])
         # pass 1: joint SA + irreducible count per block, async round-robin
         stage = []
-        for i, bi in enumerate(pending):
+        for i, bi in enumerate(wave):
             blk = blocks[bi]
             dev = devices[i % len(devices)]
             j = build_j(blk, dev)
@@ -109,7 +117,8 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
                 blk["bs_pad"])
             out.append((bi, rho, pos, length, smaller, is_head,
                         h_dev, char, viol, last_pos, rsa, risa))
-        # pass 3: check violations, compact, download
+        # pass 3: check violations, compact, download (failed blocks are
+        # re-queued with doubled context)
         new_pending = []
         for (bi, rho, pos, length, smaller, is_head, h_dev, char,
              viol, last_pos, rsa, risa) in out:
@@ -133,7 +142,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
                 char=np.asarray(out_chr)[:h].astype(np.uint8),
                 last_pos=int(np.asarray(last_pos)),
                 rsa=np.asarray(rsa)[:n], risa=np.asarray(risa)[:n])
-        pending = new_pending
+        pending = new_pending + pending
 
     # host fixup: block-first positions that chain from the previous block's
     # last pos are tails, not heads
