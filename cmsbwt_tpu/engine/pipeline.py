@@ -161,16 +161,16 @@ def compute_bwt(cfg: Config) -> dict:
                     ctx_chars=cfg.dense_ctx_chars)
             else:
                 dres = ms_dense_heads(x_aug, coll.sx)
-                if cfg.checkpoint_dir:
-                    ckpt.save("dense_heads", fp, {
-                        "head_t": dres.head_t, "head_pos": dres.head_pos,
-                        "head_len": dres.head_len,
-                        "head_smaller": dres.head_smaller,
-                        "head_char": dres.head_char,
-                        "ref_sa": dres.ref_sa, "ref_isa": dres.ref_isa,
-                        "ref_bwt": dres.ref_bwt,
-                        "h": np.int64(dres.h), "sn": np.int64(dres.sn),
-                        "irreducible": np.int64(dres.irreducible)})
+            if cached is None and cfg.checkpoint_dir:
+                ckpt.save("dense_heads", fp, {
+                    "head_t": dres.head_t, "head_pos": dres.head_pos,
+                    "head_len": dres.head_len,
+                    "head_smaller": dres.head_smaller,
+                    "head_char": dres.head_char,
+                    "ref_sa": dres.ref_sa, "ref_isa": dres.ref_isa,
+                    "ref_bwt": dres.ref_bwt,
+                    "h": np.int64(dres.h), "sn": np.int64(dres.sn),
+                    "irreducible": np.int64(dres.irreducible)})
         index = ReferenceIndex(
             x=x_aug,
             x_padded=np.concatenate([x_aug, np.zeros(1, np.uint8)]),
