@@ -491,7 +491,9 @@ def _postprocess_block(j, pos, length, smaller, n, emit_len, scale,
     sn_block = jnp.sum((jc < PAD_VAL).astype(jnp.int32))
     viol = jnp.any(valid & (tidx + length + 2 > sn_block))
     last_pos = pos[jnp.maximum(emit_len - 1, 0)]
-    return (pos, length, smaller, is_head, h, char, viol, last_pos)
+    # one packed scalar vector so the host needs a single fetch per block
+    scalars = jnp.stack([h, viol.astype(jnp.int32), last_pos])
+    return (pos, length, smaller, is_head, char, scalars)
 
 
 def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
@@ -557,17 +559,17 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
                 pj0 = jnp.int32(2 * scale_i + s_total - 1)  # final separator
             else:
                 pj0 = jnp.int32(prev_j0)
-            (pos, length, smaller, is_head, h_dev, char, viol,
-             last_pos) = _postprocess_block(
+            (pos, length, smaller, is_head, char,
+             scalars) = _postprocess_block(
                 j, pos, length, smaller, n_t, jnp.int32(emit_len),
                 jnp.int32(scale_i), jnp.int32(prev_pos0), pj0,
                 n_pad, bs_pad)
-            if bool(np.asarray(viol)) and end < sn:
+            h, viol, last_pos = (int(v) for v in np.asarray(scalars))
+            if viol and end < sn:
                 ctx *= 2
                 continue
             break
         total_rho += rho
-        h = int(np.asarray(h_dev))
         h_pad = min(_pow2_pad(h), bs_pad)
         out_t, out_pos, out_len, out_sml, out_chr = _compact_heads(
             pos, length, smaller, is_head, char, jnp.int32(scale_i),
@@ -581,7 +583,7 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
         if ref_sa is None:
             ref_sa = np.asarray(rsa)[:n]
             ref_isa = np.asarray(risa)[:n]
-        prev_pos0 = int(np.asarray(last_pos))
+        prev_pos0 = last_pos
         last_t = b0 + emit_len - 1
         c = int(sx[last_t])
         prev_j0 = (2 * scale_i + int(sep_cum[last_t]) - 1

@@ -110,25 +110,25 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             pj0 = (jnp.int32(2 * scale_i + s_total - 1) if blk["b0"] == 0
                    else jnp.int32(int(
                        _joint_char(sx, blk["b0"] - 1, sep_cum, scale_i))))
-            (pos, length, smaller, is_head, h_dev, char, viol,
-             last_pos) = MD._postprocess_block(
+            (pos, length, smaller, is_head, char,
+             scalars) = MD._postprocess_block(
                 j, pos, length, smaller, n_t, jnp.int32(blk["emit"]),
                 jnp.int32(scale_i), jnp.int32(-2), pj0, n_pad,
                 blk["bs_pad"])
             out.append((bi, rho, pos, length, smaller, is_head,
-                        h_dev, char, viol, last_pos, rsa, risa))
+                        char, scalars, rsa, risa))
         # pass 3: check violations, compact, download (failed blocks are
         # re-queued with doubled context)
         new_pending = []
-        for (bi, rho, pos, length, smaller, is_head, h_dev, char,
-             viol, last_pos, rsa, risa) in out:
+        for (bi, rho, pos, length, smaller, is_head, char,
+             scalars, rsa, risa) in out:
             blk = blocks[bi]
             end = min(blk["b0"] + blk["emit"] + blk["ctx"], sn)
-            if bool(np.asarray(viol)) and end < sn:
+            h, viol, last_pos = (int(v) for v in np.asarray(scalars))
+            if viol and end < sn:
                 blk["ctx"] *= 2
                 new_pending.append(bi)
                 continue
-            h = int(np.asarray(h_dev))
             h_pad = min(MD._pow2_pad(h), blk["bs_pad"])
             out_t, out_pos, out_len, out_sml, out_chr = MD._compact_heads(
                 pos, length, smaller, is_head, char, jnp.int32(scale_i),
@@ -140,7 +140,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
                 length=np.asarray(out_len)[:h].astype(np.int64),
                 smaller=np.asarray(out_sml)[:h].copy(),
                 char=np.asarray(out_chr)[:h].astype(np.uint8),
-                last_pos=int(np.asarray(last_pos)),
+                last_pos=last_pos,
                 rsa=np.asarray(rsa)[:n], risa=np.asarray(risa)[:n])
         pending = new_pending + pending
 
