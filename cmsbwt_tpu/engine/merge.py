@@ -146,18 +146,23 @@ def build_runs(index: ReferenceIndex, classes: ClassArrays,
             run_len[ridx_rem] = rem_b
             run_char[ridx_rem] = b_char
 
-    keep = run_len > 0
-    return run_len[keep], run_char[keep]
+    # zero-length runs are skipped by every writer (native writers test
+    # per-run; the numpy fallbacks filter below), so no compaction pass here
+    return run_len, run_char
 
 
 def runs_to_plain(run_len: np.ndarray, run_char: np.ndarray) -> bytes:
-    return np.repeat(run_char, run_len).tobytes()
+    keep = run_len > 0
+    return np.repeat(run_char[keep], run_len[keep]).tobytes()
 
 
 def runs_to_rle(run_len: np.ndarray, run_char: np.ndarray) -> bytes:
     """Merge adjacent equal-char runs, emit (uint64 len, uint8 char) records
     (ref :1003-1085; the initial prevChar=0/runLength=0 state never emits an
     empty first record because BWT chars are >= 2)."""
+    keep = run_len > 0
+    run_len = run_len[keep]
+    run_char = run_char[keep]
     if len(run_len) == 0:
         return b"\x00" * 8 + b"\x00"  # ref writes the (0, 0) initial state
     new = np.ones(len(run_char), dtype=bool)
