@@ -45,7 +45,8 @@ def build_runs(index: ReferenceIndex, classes: ClassArrays,
 
     Run layout per SA rank i in [1, n):
 
-    * tails-only bucket: one run (tails, refBWT[i]) — zero-length filtered;
+    * tails-only bucket: one run (tails, refBWT[i]); zero-length runs are
+      RETAINED in the returned arrays — every writer skips them;
     * mixed bucket, per class in map order: per slot [counter run, head
       char], then one residual-style run — per class with ``rle_quirk``
       (the reference RLE writer's phantom residual, ref :1069-1078, length

@@ -51,6 +51,13 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
 
     x_u8_pad = np.zeros(n_pad, np.uint8)
     x_u8_pad[:n] = x_aug
+    # upload the padded reference once per device
+    x_dev_cache = {}
+
+    def ref_on(dev):
+        if dev not in x_dev_cache:
+            x_dev_cache[dev] = jax.device_put(jnp.asarray(x_u8_pad), dev)
+        return x_dev_cache[dev]
 
     def build_j(blk, dev):
         b0, emit, ctx = blk["b0"], blk["emit"], blk["ctx"]
@@ -65,7 +72,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         blk["m"] = n_pad + bs_pad
         blk["len_blk"] = len(sx_blk)
         return MD._build_joint_device(
-            jax.device_put(jnp.asarray(x_u8_pad), dev),
+            ref_on(dev),
             jax.device_put(jnp.asarray(sx_u8), dev),
             jnp.int32(n), jnp.int32(len(sx_blk)), jnp.int32(scale_i),
             jnp.int32(sep_base), n_pad, bs_pad)
@@ -76,6 +83,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         blocks_in_flight = 2 * len(devices)
     pending = list(range(len(blocks)))
     results = [None] * len(blocks)
+    ref_sa_holder = [None, None]
     while pending:
         wave, pending = (pending[:blocks_in_flight],
                          pending[blocks_in_flight:])
@@ -140,8 +148,12 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
                 length=np.asarray(out_len)[:h].astype(np.int64),
                 smaller=np.asarray(out_sml)[:h].copy(),
                 char=np.asarray(out_chr)[:h].astype(np.uint8),
-                last_pos=last_pos,
-                rsa=np.asarray(rsa)[:n], risa=np.asarray(risa)[:n])
+                last_pos=last_pos)
+            # the reference part of the joint order is identical in every
+            # block: download it once
+            if ref_sa_holder[0] is None:
+                ref_sa_holder[0] = np.asarray(rsa)[:n]
+                ref_sa_holder[1] = np.asarray(risa)[:n]
         pending = new_pending + pending
 
     # host fixup: block-first positions that chain from the previous block's
@@ -155,8 +167,8 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
                 r[k] = r[k][1:]
             r["h"] -= 1
 
-    ref_sa = results[0]["rsa"]
-    ref_isa = results[0]["risa"]
+    ref_sa = ref_sa_holder[0]
+    ref_isa = ref_sa_holder[1]
     ref_bwt = np.where(ref_sa > 0, x_aug[np.maximum(ref_sa - 1, 0)],
                        np.uint8(0)).astype(np.uint8)
     cat = lambda k, d: (np.concatenate([r[k] for r in results])
