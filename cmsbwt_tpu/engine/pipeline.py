@@ -98,9 +98,8 @@ def compute_bwt(cfg: Config) -> dict:
         ref = fasta.load_reference_bytes(ref_path)
         x_aug = fasta.augment_reference(ref)
     sn_limit = fasta.collection_sn_limit(coll_path, cfg.prefix_length)
-    backend = cfg.backend
-    if backend == "auto":
-        backend = "host"
+    coll_chars = min(os.path.getsize(coll_path), cfg.prefix_length)
+    backend = _resolve_backend(cfg.backend, coll_chars)
     dindex = None
     index = None
     with timer.phase("build_index"):
@@ -228,6 +227,31 @@ def _write_outputs(cfg: Config, outname: str, index: ReferenceIndex,
         f.write(f"\nsn: {result.sn}\nheads: {result.h}\nD: {result.d}\n")
     return {"out_path": out_path, "bytes": nbytes, "timer": timer,
             "result": result}
+
+
+# Below this many collection chars, the host scan beats the dense device
+# pipeline even with a warm compile cache (dispatch/transfer overheads
+# dominate; measured crossover is around a few Mchars on v5e).
+AUTO_DENSE_MIN_CHARS = 2_000_000
+
+
+def _resolve_backend(backend: str, coll_chars: int | None = None) -> str:
+    """auto -> dense on an accelerator for large inputs, host otherwise.
+
+    CPU-only processes and small collections keep the numpy path: the joint
+    sorts are slower than the sequential scan there and jit/dispatch costs
+    dominate."""
+    if backend != "auto":
+        return backend
+    if coll_chars is not None and coll_chars < AUTO_DENSE_MIN_CHARS:
+        return "host"
+    try:
+        import jax
+        if any(d.platform != "cpu" for d in jax.devices()):
+            return "dense"
+    except Exception:
+        pass
+    return "host"
 
 
 def _export_device_index(dindex, x_aug: np.ndarray) -> ReferenceIndex:

@@ -58,9 +58,6 @@ class CMSBWT:
                   backend: Optional[str] = None) -> TransformResult:
         """Compute the collection BWT against the held reference."""
         cfg = self.config
-        backend = backend or cfg.backend
-        if backend == "auto":
-            backend = "host"
         if isinstance(collection, str):
             sn_limit = fasta.collection_sn_limit(collection,
                                                  cfg.prefix_length)
@@ -68,6 +65,8 @@ class CMSBWT:
         else:
             coll = collection
         fasta.validate_collection(coll)
+        from ..engine.pipeline import _resolve_backend
+        backend = _resolve_backend(backend or cfg.backend, len(coll.sx))
         timer = PhaseTimer()
         rle_quirk = rle and cfg.replicate_reference_rle_quirk
         if backend == "dense":

@@ -69,3 +69,16 @@ def test_phase_timer():
         pass
     assert t.get("a") >= 0
     assert "a:" in t.report() and "total:" in t.report()
+
+
+def test_auto_backend_resolution():
+    # explicit choices pass through untouched; auto picks host for small
+    # collections and on CPU-only processes (tests pin jax to cpu)
+    from cmsbwt_tpu.engine.pipeline import (AUTO_DENSE_MIN_CHARS,
+                                            _resolve_backend)
+    assert _resolve_backend("dense", 10) == "dense"
+    assert _resolve_backend("host", 10**9) == "host"
+    assert _resolve_backend("auto", AUTO_DENSE_MIN_CHARS - 1) == "host"
+    # large + CPU-only -> host (no accelerator present under the test pin)
+    assert _resolve_backend("auto", 10**9) == "host"
+    assert _resolve_backend("auto", None) == "host"
