@@ -29,7 +29,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..index.host import ReferenceIndex
-from ..io.native import lexsort_native
+from ..io.native import (argsort_native, lexsort_native,
+                         searchsorted_right_native)
 from .ms_host import MSArrays
 
 
@@ -106,7 +107,7 @@ def fixup_heads(index: ReferenceIndex, heads: HeadArrays) -> None:
     doc_of_head = np.searchsorted(pseudo_idx, np.arange(h), side="left")
     barrier = pseudo_idx[doc_of_head]                  # this doc's pseudo idx
 
-    j = np.searchsorted(ends, ends, side="right").astype(np.int64)
+    j = searchsorted_right_native(ends, ends)
     j = np.minimum(j, barrier)
     j[pseudo] = np.nonzero(pseudo)[0]                  # pseudo covers itself
 
@@ -134,14 +135,15 @@ def build_classes(index: ReferenceIndex, heads: HeadArrays) -> ClassArrays:
     la = pack_li[order]
     new_grp = np.ones(heads.h, dtype=bool)
     new_grp[1:] = (p[1:] != p[:-1]) | (la[1:] != la[:-1])
-    l = heads.length[order]
-    a = heads.isa_next[order]
     gid = np.cumsum(new_grp) - 1
     n_classes = int(gid[-1]) + 1 if heads.h else 0
     first = np.nonzero(new_grp)[0]
     cls_pos = p[first]
-    cls_len = l[first]
-    cls_isa = a[first]
+    # unpack (len, isaNext) from the packed key at class firsts only —
+    # avoids two full-H gathers
+    la_first = la[first]
+    cls_len = la_first // scale
+    cls_isa = la_first - cls_len * scale
     first_head = order[first]                     # min-idx member
     cls_smaller = heads.smaller[first_head]
     cls_until = heads.to_next[first_head]
@@ -155,8 +157,10 @@ def build_classes(index: ReferenceIndex, heads: HeadArrays) -> ClassArrays:
     text_order = lexsort_native([pack_ki, cls_pos])
     rank_of_class = np.empty(n_classes, dtype=np.int64)
     rank_of_class[text_order] = np.arange(n_classes)
-    # reorder members: sort heads by (text-ordered class, head idx)
-    member_sort = lexsort_native([order, rank_of_class[gid]])
+    # reorder members: stable sort by text-ordered class alone — within a
+    # gid group the grouping sort already left `order` ascending (stable on
+    # equal keys), so one pass replaces the (class, head idx) lexsort
+    member_sort = argsort_native(rank_of_class[gid])
     member_head = order[member_sort]
     sizes_text = cls_size[text_order]
     member_off = np.concatenate([[0], np.cumsum(sizes_text)])

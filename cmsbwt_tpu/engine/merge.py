@@ -113,21 +113,40 @@ def build_runs(index: ReferenceIndex, classes: ClassArrays,
         cls_start = offsets[bucket_rank - 1] + 2 * mc_before + \
             (k_c if rle_quirk else 0)
 
-        # slot-level expansion (emission order)
+        # slot-level expansion (emission order). Per-slot indices advance by
+        # a constant stride within a class, so they are cumsums of a step
+        # array with C-sized corrections at class starts — ~10x cheaper than
+        # the arange/repeat/gather formulation at tens of millions of slots.
         tot_slots = int(m_c.sum())
-        cls_of_slot = np.repeat(np.arange(nec), m_c)
-        within = np.arange(tot_slots) - np.repeat(ex_mc, m_c)
-        slot_text = base_c[cls_of_slot] + within
-        ridx_tail = cls_start[cls_of_slot] + 2 * within
-        run_len[ridx_tail] = counter[slot_text]
-        run_char[ridx_tail] = b_char[bucket_id[cls_of_slot]]
-        run_len[ridx_tail + 1] = 1
-        run_char[ridx_tail + 1] = ranked.bwt_heads[
-            d - 1: d - 1 + tot_slots]
+        from ..io.native import expand_slots_native
+        csum_c = expand_slots_native(
+            m_c, ex_mc, base_c, cls_start, counter, b_char[bucket_id],
+            ranked.bwt_heads[d - 1: d - 1 + tot_slots], run_len, run_char)
+        if csum_c is None:
+            # numpy fallback. Per-slot indices advance by a constant stride
+            # within a class, so they are cumsums of a step array with
+            # C-sized corrections at class starts — cheaper than the
+            # arange/repeat/gather formulation at tens of millions of slots.
+            def strided(start_c, stride):
+                # value at slot s of class c: start_c[c] + stride*(s - ex_mc[c])
+                step = np.full(tot_slots, stride, dtype=np.int64)
+                step[0] = start_c[0]
+                step[ex_mc[1:]] = start_c[1:] - (
+                    start_c[:-1] + stride * (m_c[:-1] - 1))
+                return np.cumsum(step)
 
-        # per-class counter sums and residuals
-        csum_c = np.bincount(cls_of_slot, weights=counter[slot_text],
-                             minlength=nec).astype(np.int64)
+            slot_text = strided(base_c, 1)
+            ridx_tail = strided(cls_start, 2)
+            run_len[ridx_tail] = counter[slot_text]
+            run_char[ridx_tail] = np.repeat(b_char[bucket_id], m_c)
+            run_len[ridx_tail + 1] = 1
+            run_char[ridx_tail + 1] = ranked.bwt_heads[
+                d - 1: d - 1 + tot_slots]
+
+            # per-class counter sums: segmented sums over the text-layout
+            # slot ranges [base_c, base_c + m_c) via one cumsum
+            cs = np.concatenate([[0], np.cumsum(counter[slot_text])])
+            csum_c = cs[ex_mc + m_c] - cs[ex_mc]
         inc = csum_c + m_c
         cum_inc = np.cumsum(inc)
         cum_inc_b = cum_inc - np.repeat(

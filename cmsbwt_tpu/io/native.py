@@ -186,3 +186,55 @@ def lexsort_native(keys_last_primary, size_threshold: int = 1 << 20):
 def argsort_native(keys, size_threshold: int = 1 << 20):
     """Stable single-key argsort via the native parallel sort."""
     return lexsort_native([keys], size_threshold)
+
+
+def expand_slots_native(m_c, ex_mc, base_c, cls_start, counter, cls_char,
+                        bwt_heads_slots, run_len, run_char):
+    """Native slot-level run expansion for build_runs; fills run_len/run_char
+    in place and returns csum_c, or None when the library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if not hasattr(lib, "_expand_bound"):
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        U8 = ctypes.POINTER(ctypes.c_uint8)
+        lib.cms_expand_slots.restype = ctypes.c_int64
+        lib.cms_expand_slots.argtypes = [
+            ctypes.c_int64, I64, I64, I64, I64, I64, U8, U8, I64, U8, I64]
+        lib._expand_bound = True
+    nec = len(m_c)
+    a = lambda x: np.ascontiguousarray(x, dtype=np.int64)
+    u = lambda x: np.ascontiguousarray(x, dtype=np.uint8)
+    mc, ex, bc, cst, cnt = a(m_c), a(ex_mc), a(base_c), a(cls_start), a(counter)
+    cch, bh = u(cls_char), u(bwt_heads_slots)
+    assert run_len.dtype == np.int64 and run_len.flags.c_contiguous
+    assert run_char.dtype == np.uint8 and run_char.flags.c_contiguous
+    csum = np.zeros(nec, dtype=np.int64)
+    p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    pu8 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    r = lib.cms_expand_slots(
+        ctypes.c_int64(nec), p64(mc), p64(ex), p64(bc), p64(cst), p64(cnt),
+        pu8(cch), pu8(bh), p64(run_len), pu8(run_char), p64(csum))
+    if r != 0:
+        return None
+    return csum
+
+
+def searchsorted_right_native(a, q, size_threshold: int = 1 << 20):
+    """np.searchsorted(a, q, side='right') with a parallel native kernel for
+    large inputs."""
+    lib = get_lib()
+    if lib is None or len(q) < size_threshold:
+        return np.searchsorted(a, q, side="right").astype(np.int64)
+    if not hasattr(lib, "_ss_bound"):
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        lib.cms_searchsorted_right.restype = ctypes.c_int64
+        lib.cms_searchsorted_right.argtypes = [
+            I64, ctypes.c_int64, I64, ctypes.c_int64, I64]
+        lib._ss_bound = True
+    aa = np.ascontiguousarray(a, dtype=np.int64)
+    qq = np.ascontiguousarray(q, dtype=np.int64)
+    out = np.empty(len(qq), dtype=np.int64)
+    p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    lib.cms_searchsorted_right(p64(aa), len(aa), p64(qq), len(qq), p64(out))
+    return out

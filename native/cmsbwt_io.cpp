@@ -271,3 +271,65 @@ extern "C" int64_t cms_stable_argsort_i64(const int64_t *keys, int64_t *perm,
   for (int64_t i = 0; i < m; i++) perm[i] = buf[i].v;
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Slot-level run expansion for build_runs (see engine/merge.py): for each
+// emission class c, write its m_c [counter run, head char] pairs into the
+// run arrays and return the class's counter sum. One parallel pass replaces
+// ~8 full-size numpy passes (repeat/arange/gather/scatter/bincount).
+extern "C" int64_t cms_expand_slots(
+    int64_t nec,
+    const int64_t *m_c,        // [nec] members per class (emission order)
+    const int64_t *ex_mc,      // [nec] exclusive prefix sum of m_c
+    const int64_t *base_c,     // [nec] text-layout slot base per class
+    const int64_t *cls_start,  // [nec] first run index per class
+    const int64_t *counter,    // [tot_slots_text] per-slot counter (text layout)
+    const uint8_t *cls_char,   // [nec] bucket refBWT char per class
+    const uint8_t *bwt_heads,  // [tot_slots] head chars (emission slot order)
+    int64_t *run_len,          // out
+    uint8_t *run_char,         // out
+    int64_t *csum_c) {         // out [nec] per-class counter sum
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t c = 0; c < nec; c++) {
+    const int64_t m = m_c[c];
+    const int64_t slot0 = ex_mc[c];
+    const int64_t text0 = base_c[c];
+    const int64_t r0 = cls_start[c];
+    const uint8_t ch = cls_char[c];
+    int64_t sum = 0;
+    for (int64_t k = 0; k < m; k++) {
+      const int64_t cnt = counter[text0 + k];
+      sum += cnt;
+      run_len[r0 + 2 * k] = cnt;
+      run_char[r0 + 2 * k] = ch;
+      run_len[r0 + 2 * k + 1] = 1;
+      run_char[r0 + 2 * k + 1] = bwt_heads[slot0 + k];
+    }
+    csum_c[c] = sum;
+  }
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// Parallel batched binary search: out[i] = upper_bound(a, a+n, q[i]) - a
+// (side='right' semantics of np.searchsorted). numpy's searchsorted is
+// single-threaded; this is the hot call of the covering-phrase fixup.
+extern "C" int64_t cms_searchsorted_right(const int64_t *a, int64_t n,
+                                          const int64_t *q, int64_t m,
+                                          int64_t *out) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < m; i++) {
+    int64_t lo = 0, hi = n;
+    const int64_t x = q[i];
+    while (lo < hi) {
+      const int64_t mid = (lo + hi) >> 1;
+      if (a[mid] <= x) lo = mid + 1; else hi = mid;
+    }
+    out[i] = lo;
+  }
+  return 0;
+}
