@@ -29,7 +29,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..index.host import ReferenceIndex
-from ..io.native import (argsort_native, lexsort_native,
+from ..io.native import (argsort_native, lexsort2_native,
                          searchsorted_right_native)
 from .ms_host import MSArrays
 
@@ -130,7 +130,7 @@ def build_classes(index: ReferenceIndex, heads: HeadArrays) -> ClassArrays:
     # idx (insertion) order within groups
     scale = np.int64(n + 1)
     pack_li = heads.length * scale + heads.isa_next
-    order = lexsort_native([pack_li, heads.pos])
+    order = lexsort2_native(heads.pos, pack_li)
     p = heads.pos[order]
     la = pack_li[order]
     new_grp = np.ones(heads.h, dtype=bool)
@@ -154,7 +154,7 @@ def build_classes(index: ReferenceIndex, heads: HeadArrays) -> ClassArrays:
 
     # member storage grouped by class in TEXT order (pos, K, isaNext):
     pack_ki = key_k * scale + cls_isa
-    text_order = lexsort_native([pack_ki, cls_pos])
+    text_order = lexsort2_native(cls_pos, pack_ki)
     rank_of_class = np.empty(n_classes, dtype=np.int64)
     rank_of_class[text_order] = np.arange(n_classes)
     # reorder members: stable sort by text-ordered class alone — within a

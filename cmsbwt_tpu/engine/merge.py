@@ -56,13 +56,11 @@ def build_runs(index: ReferenceIndex, classes: ClassArrays,
     With ``rle_quirk`` the per-class phantom residual runs of the reference
     RLE writer are inserted (they add bytes, exactly as the reference does).
     """
-    from .ranking import class_sa_order
-
     n = index.n
     sa = index.sa.astype(np.int64)
     ref_bwt = index.bwt
 
-    sa_ord = class_sa_order(index, classes)
+    sa_ord = ranked.sa_ord  # cached SA-walk order (ranking pass)
     ecls = sa_ord[1:]                         # emission order, pseudo dropped
     nec = len(ecls)
     m_c = classes.size[ecls].astype(np.int64)
@@ -113,10 +111,9 @@ def build_runs(index: ReferenceIndex, classes: ClassArrays,
         cls_start = offsets[bucket_rank - 1] + 2 * mc_before + \
             (k_c if rle_quirk else 0)
 
-        # slot-level expansion (emission order). Per-slot indices advance by
-        # a constant stride within a class, so they are cumsums of a step
-        # array with C-sized corrections at class starts — ~10x cheaper than
-        # the arange/repeat/gather formulation at tens of millions of slots.
+        # slot-level expansion (emission order): one native OpenMP pass
+        # writes every [counter run, head char] pair and returns per-class
+        # counter sums
         tot_slots = int(m_c.sum())
         from ..io.native import expand_slots_native
         csum_c = expand_slots_native(

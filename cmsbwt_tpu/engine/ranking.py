@@ -20,7 +20,8 @@ from dataclasses import dataclass
 import numpy as np
 
 from ..index.host import ReferenceIndex, suffix_array_doubling
-from ..io.native import argsort_native, lexsort_native
+from ..io.native import (argsort_native, fill_class_ranks_native,
+                         lexsort2_native)
 from .heads import ClassArrays, HeadArrays
 
 
@@ -33,6 +34,8 @@ class RankedHeads:
     slot_base: np.ndarray    # int64 [C+1]: slot range begin per text-order class
     member_rank_sorted: np.ndarray  # int64 [h]: per-class ascending succ ranks
                                     # aligned with slots
+    sa_ord: np.ndarray       # int64 [C]: classes in SA-walk order (cached
+                             # for build_runs — avoids re-sorting)
 
 
 def class_sa_order(index: ReferenceIndex, classes: ClassArrays) -> np.ndarray:
@@ -40,8 +43,8 @@ def class_sa_order(index: ReferenceIndex, classes: ClassArrays) -> np.ndarray:
     order (ref :630-643). Returns a permutation of text-order class ids."""
     isa_pos = index.isa[classes.pos].astype(np.int64)
     scale = np.int64(index.n + 1)
-    return lexsort_native([classes.key_k * scale + classes.isa_next,
-                           isa_pos])
+    return lexsort2_native(isa_pos,
+                           classes.key_k * scale + classes.isa_next)
 
 
 def assign_class_ranks(index: ReferenceIndex, classes: ClassArrays,
@@ -64,12 +67,15 @@ def assign_class_ranks(index: ReferenceIndex, classes: ClassArrays,
     rank_value = np.empty(classes.n_classes, dtype=np.int64)
     rank_value[sa_ord] = np.arange(classes.n_classes) + d
     rank_value[pseudo_cls] = 0                         # members set individually
-    for_cls = np.repeat(np.arange(classes.n_classes),
-                        np.diff(classes.member_off))
-    nonpseudo = for_cls != pseudo_cls
-    rank_to_head[classes.member_head[nonpseudo]] = rank_value[for_cls[nonpseudo]]
+    if not fill_class_ranks_native(classes.member_off, classes.member_head,
+                                   rank_value, pseudo_cls, rank_to_head):
+        for_cls = np.repeat(np.arange(classes.n_classes),
+                            np.diff(classes.member_off))
+        nonpseudo = for_cls != pseudo_cls
+        rank_to_head[classes.member_head[nonpseudo]] = \
+            rank_value[for_cls[nonpseudo]]
     rank_to_head[heads.h] = 0
-    return rank_to_head
+    return rank_to_head, sa_ord
 
 
 DEVICE_SORT_THRESHOLD = 200_000
@@ -98,7 +104,7 @@ def _head_string_suffix_sort(rank_to_head: np.ndarray) -> np.ndarray:
 
 def rank_heads(index: ReferenceIndex, classes: ClassArrays, heads: HeadArrays,
                d: int) -> RankedHeads:
-    rank_to_head = assign_class_ranks(index, classes, heads, d)
+    rank_to_head, sa_ord = assign_class_ranks(index, classes, heads, d)
     head_to_rank = _head_string_suffix_sort(rank_to_head)
     # final rank: skip the terminator suffix at SA position 0
     sa_body = head_to_rank[1:].astype(np.int64)        # length h
@@ -129,4 +135,5 @@ def rank_heads(index: ReferenceIndex, classes: ClassArrays, heads: HeadArrays,
         slot_of_head=slot_of_head,
         slot_base=slot_base,
         member_rank_sorted=member_rank_sorted,
+        sa_ord=sa_ord,
     )

@@ -238,3 +238,47 @@ def searchsorted_right_native(a, q, size_threshold: int = 1 << 20):
     p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
     lib.cms_searchsorted_right(p64(aa), len(aa), p64(qq), len(qq), p64(out))
     return out
+
+
+def lexsort2_native(primary, secondary, size_threshold: int = 1 << 20):
+    """Stable argsort by (primary, secondary) in one native parallel pass
+    (np.lexsort([secondary, primary]) equivalent)."""
+    lib = get_lib()
+    m = len(primary)
+    if lib is None or m < size_threshold:
+        return np.lexsort((secondary, primary))
+    if not hasattr(lib, "_lex2_bound"):
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        lib.cms_stable_argsort_2i64.restype = ctypes.c_int64
+        lib.cms_stable_argsort_2i64.argtypes = [I64, I64, I64, ctypes.c_int64]
+        lib._lex2_bound = True
+    p = np.ascontiguousarray(primary, dtype=np.int64)
+    s = np.ascontiguousarray(secondary, dtype=np.int64)
+    perm = np.arange(m, dtype=np.int64)
+    p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    lib.cms_stable_argsort_2i64(p64(p), p64(s), p64(perm), m)
+    return perm
+
+
+def fill_class_ranks_native(member_off, member_head, rank_value, pseudo_cls,
+                            rank_to_head) -> bool:
+    """Write each class's rank value at its members' head indices (parallel
+    over classes); skips the pseudo class. Returns False without the lib."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    if not hasattr(lib, "_fill_bound"):
+        I64 = ctypes.POINTER(ctypes.c_int64)
+        lib.cms_fill_class_ranks.restype = ctypes.c_int64
+        lib.cms_fill_class_ranks.argtypes = [
+            ctypes.c_int64, I64, I64, I64, ctypes.c_int64, I64]
+        lib._fill_bound = True
+    mo = np.ascontiguousarray(member_off, dtype=np.int64)
+    mh = np.ascontiguousarray(member_head, dtype=np.int64)
+    rv = np.ascontiguousarray(rank_value, dtype=np.int64)
+    assert rank_to_head.dtype == np.int64 and rank_to_head.flags.c_contiguous
+    p64 = lambda x: x.ctypes.data_as(ctypes.POINTER(ctypes.c_int64))
+    lib.cms_fill_class_ranks(len(mo) - 1, p64(mo), p64(mh), p64(rv),
+                             ctypes.c_int64(int(pseudo_cls)),
+                             p64(rank_to_head))
+    return True

@@ -333,3 +333,52 @@ extern "C" int64_t cms_searchsorted_right(const int64_t *a, int64_t n,
   }
   return 0;
 }
+
+// ---------------------------------------------------------------------------
+// Stable argsort by a two-int64 lexicographic key in ONE parallel sort pass
+// (vs chaining two stable single-key passes).
+extern "C" int64_t cms_stable_argsort_2i64(const int64_t *primary,
+                                           const int64_t *secondary,
+                                           int64_t *perm, int64_t m) {
+  struct KKV {
+    int64_t k1;  // primary
+    int64_t k2;  // secondary
+    int64_t v;
+  };
+  std::vector<KKV> buf(m);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < m; i++)
+    buf[i] = {primary[perm[i]], secondary[perm[i]], perm[i]};
+  CMS_STABLE_SORT(buf.begin(), buf.end(), [](const KKV &a, const KKV &b) {
+    return a.k1 != b.k1 ? a.k1 < b.k1 : a.k2 < b.k2;
+  });
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t i = 0; i < m; i++) perm[i] = buf[i].v;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
+// rankToHead fill (see engine/ranking.py assign_class_ranks): for each class
+// write its rank value at every member's head index. Classes own disjoint
+// members, so parallel-over-classes writes never collide.
+extern "C" int64_t cms_fill_class_ranks(int64_t n_classes,
+                                        const int64_t *member_off,
+                                        const int64_t *member_head,
+                                        const int64_t *rank_value,
+                                        int64_t pseudo_cls,
+                                        int64_t *rank_to_head) {
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+  for (int64_t c = 0; c < n_classes; c++) {
+    if (c == pseudo_cls) continue;
+    const int64_t v = rank_value[c];
+    for (int64_t k = member_off[c]; k < member_off[c + 1]; k++)
+      rank_to_head[member_head[k]] = v;
+  }
+  return 0;
+}
