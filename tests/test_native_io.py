@@ -56,3 +56,85 @@ def test_native_writers_match(tmp_path, lib):
     assert native.write_rle_native(str(pr), run_len, run_char)
     keep = run_len > 0
     assert pr.read_bytes() == runs_to_rle(run_len[keep], run_char[keep])
+
+
+def test_searchsorted_right_native_matches_numpy():
+    from cmsbwt_tpu.io.native import searchsorted_right_native
+    rng = np.random.default_rng(11)
+    a = np.sort(rng.integers(0, 1000, 5000)).astype(np.int64)
+    q = rng.integers(-5, 1005, 3000).astype(np.int64)
+    got = searchsorted_right_native(a, q, size_threshold=1)
+    np.testing.assert_array_equal(got, np.searchsorted(a, q, side="right"))
+    # edge: empty haystack -> all zeros
+    got0 = searchsorted_right_native(np.zeros(0, np.int64), q,
+                                     size_threshold=1)
+    assert (got0 == 0).all()
+
+
+def test_lexsort2_native_matches_lexsort():
+    from cmsbwt_tpu.io.native import lexsort2_native
+    rng = np.random.default_rng(12)
+    p = rng.integers(0, 50, 4000).astype(np.int64)
+    s = rng.integers(0, 50, 4000).astype(np.int64)
+    got = lexsort2_native(p, s, size_threshold=1)
+    np.testing.assert_array_equal(got, np.lexsort((s, p)))
+
+
+def test_expand_slots_native_matches_numpy():
+    from cmsbwt_tpu.io.native import expand_slots_native
+    if expand_slots_native(np.ones(1, np.int64), np.zeros(1, np.int64),
+                           np.zeros(1, np.int64), np.zeros(1, np.int64),
+                           np.zeros(1, np.int64), np.zeros(1, np.uint8),
+                           np.zeros(1, np.uint8), np.zeros(2, np.int64),
+                           np.zeros(2, np.uint8)) is None:
+        import pytest
+        pytest.skip("native lib unavailable")
+    rng = np.random.default_rng(13)
+    nec = 200
+    m_c = rng.integers(1, 6, nec).astype(np.int64)
+    tot = int(m_c.sum())
+    ex_mc = np.concatenate([[0], np.cumsum(m_c)[:-1]])
+    base_c = ex_mc.copy()  # text layout == emission layout for this test
+    cls_start = 3 * ex_mc + np.arange(nec)  # disjoint, stride-2 fits
+    counter = rng.integers(0, 9, tot).astype(np.int64)
+    cls_char = rng.integers(3, 128, nec).astype(np.uint8)
+    bwt_heads = rng.integers(3, 128, tot).astype(np.uint8)
+    size = int(cls_start.max() + 2 * m_c[-1] + 2)
+    rl_n = np.zeros(size, np.int64); rc_n = np.zeros(size, np.uint8)
+    csum = expand_slots_native(m_c, ex_mc, base_c, cls_start, counter,
+                               cls_char, bwt_heads, rl_n, rc_n)
+    # numpy reference formulation
+    cls_of_slot = np.repeat(np.arange(nec), m_c)
+    within = np.arange(tot) - np.repeat(ex_mc, m_c)
+    ridx = cls_start[cls_of_slot] + 2 * within
+    rl = np.zeros(size, np.int64); rc = np.zeros(size, np.uint8)
+    rl[ridx] = counter[base_c[cls_of_slot] + within]
+    rc[ridx] = cls_char[cls_of_slot]
+    rl[ridx + 1] = 1
+    rc[ridx + 1] = bwt_heads
+    np.testing.assert_array_equal(rl_n, rl)
+    np.testing.assert_array_equal(rc_n, rc)
+    np.testing.assert_array_equal(
+        csum, np.bincount(cls_of_slot, weights=counter, minlength=nec))
+
+
+def test_fill_class_ranks_native_matches_numpy():
+    from cmsbwt_tpu.io.native import fill_class_ranks_native
+    rng = np.random.default_rng(14)
+    nec = 150
+    sizes = rng.integers(1, 5, nec).astype(np.int64)
+    off = np.concatenate([[0], np.cumsum(sizes)])
+    h = int(off[-1])
+    member_head = rng.permutation(h).astype(np.int64)
+    rank_value = rng.integers(0, 10**6, nec).astype(np.int64)
+    pseudo = 7
+    out = np.zeros(h + 1, np.int64)
+    if not fill_class_ranks_native(off, member_head, rank_value, pseudo, out):
+        import pytest
+        pytest.skip("native lib unavailable")
+    exp = np.zeros(h + 1, np.int64)
+    for c in range(nec):
+        if c == pseudo:
+            continue
+        exp[member_head[off[c]:off[c + 1]]] = rank_value[c]
+    np.testing.assert_array_equal(out, exp)
