@@ -62,10 +62,13 @@ def run_reference(tmp: pathlib.Path, lst: pathlib.Path) -> float:
                            capture_output=True)
         if r.returncode != 0:
             return -1.0
-    t0 = time.time()
-    subprocess.run([str(ref_bin), "-o", str(tmp / "refout"), str(lst)],
-                   check=True, capture_output=True)
-    return time.time() - t0
+    best = float("inf")
+    for _ in range(2):  # best of two, same as our timed runs
+        t0 = time.time()
+        subprocess.run([str(ref_bin), "-o", str(tmp / "refout"), str(lst)],
+                       check=True, capture_output=True)
+        best = min(best, time.time() - t0)
+    return best
 
 
 def main():
@@ -82,13 +85,17 @@ def main():
 
     cfg = Config(filename=str(lst), outname=str(tmp / "ours"),
                  backend=backend)
-    # warm-up run compiles all kernels (cached for the timed run)
+    # warm-up run compiles all kernels (cached for the timed runs); best of
+    # two timed runs — host memory bandwidth and device queue latency vary
+    # several-fold run to run on shared machines
     compute_bwt(cfg)
-    t0 = time.time()
-    out = compute_bwt(cfg)
-    ours_s = time.time() - t0
-    print("# phases: " + out["timer"].report().replace("\n", " | "),
-          file=sys.stderr)
+    ours_s = float("inf")
+    for _ in range(2):
+        t0 = time.time()
+        out = compute_bwt(cfg)
+        ours_s = min(ours_s, time.time() - t0)
+        print("# phases: " + out["timer"].report().replace("\n", " | "),
+              file=sys.stderr)
     sn = out["result"].sn
     ours_tput = sn / 1e6 / ours_s
 
