@@ -102,9 +102,10 @@ def fixup_heads(index: ReferenceIndex, heads: HeadArrays) -> None:
     ends = heads.t + heads.length                      # non-decreasing globally
     pseudo = heads.length == 0
     # pseudo-head (doc barrier) index covering each head: next pseudo at or
-    # after each head position in stream order
+    # after each head position in stream order. The count of pseudos strictly
+    # before i is an exclusive prefix sum — no binary search needed.
     pseudo_idx = np.nonzero(pseudo)[0]
-    doc_of_head = np.searchsorted(pseudo_idx, np.arange(h), side="left")
+    doc_of_head = np.cumsum(pseudo, dtype=np.int32) - pseudo
     barrier = pseudo_idx[doc_of_head]                  # this doc's pseudo idx
 
     j = searchsorted_right_native(ends, ends)
