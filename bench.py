@@ -16,6 +16,8 @@ Workload (override via env):
                   strain-collection divergence regime, BASELINE.json
                   config #2; 0.001 reproduces the pangenome toy config)
   BENCH_BACKEND   dense | device | host        (default dense)
+  BENCH_BLOCK_CHARS  dense backend: stream the collection in blocks of
+                  this many chars (default: single joint sort)
 """
 import json
 import os
@@ -76,6 +78,7 @@ def main():
     ndocs = int(os.environ.get("BENCH_DOCS", "10"))
     snp = float(os.environ.get("BENCH_SNP", "0.01"))
     backend = os.environ.get("BENCH_BACKEND", "dense")
+    block_chars = os.environ.get("BENCH_BLOCK_CHARS")
 
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="cmsbench_"))
     lst = make_workload(tmp, ref_mbp, ndocs, snp)
@@ -84,7 +87,8 @@ def main():
     from cmsbwt_tpu.engine.pipeline import compute_bwt
 
     cfg = Config(filename=str(lst), outname=str(tmp / "ours"),
-                 backend=backend)
+                 backend=backend,
+                 dense_block_chars=int(block_chars) if block_chars else None)
     # warm-up run compiles all kernels (cached for the timed runs); best of
     # two timed runs — host memory bandwidth and device queue latency vary
     # several-fold run to run on shared machines
