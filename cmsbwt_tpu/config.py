@@ -28,20 +28,24 @@ class Config:
     filename: str = ""              # input list file: line1=ref path, line2=collection path
     outname: str = ""               # output basename (default: filename)
     rle: bool = False               # -r : emit .rl_bwt instead of .bwt
-    buffer_gib: int = 2             # -b : batching buffer in GiB (small path only)
+    buffer_gib: int = 2             # -b : bounds the tail-positioning batch
+                                    # working set (the reference's only use of
+                                    # arg.buffer: the bufferSuffixes cap,
+                                    # ref :713-719)
     prefix_length: int = UINT64_MAX  # -p : prefix of the collection file to process
 
     # --- reference-internal constants, surfaced (CMS-BWT-functions.cpp) ---
     small_ref_threshold: int = 1_000_000   # small vs large dispatch (:1792)
     chunk_cap_bytes: int = 1_000_000_000   # phrase-chunk spill cap (:341, :1131)
-    write_buffer_bytes: int = 1 << 20      # output write buffer (:943)
+                                    # here: caps the derived per-device block
+                                    # size when --parallel picks one
+    write_buffer_bytes: int = 1 << 20      # output write buffer (:943);
+                                    # chunk size of the fallback writers
 
     # --- TPU-native knobs (no reference equivalent) ---
     backend: str = "auto"           # "host" (numpy), "device" (jax), "auto"
     lanes: int = 256                # parallel MS cursors per device
-    lane_chunk: int = 1 << 16       # collection chars per lane chunk
     skip_window: int = 256          # vectorized PLCP-skip / memcmp window
-    mesh_shape: Optional[tuple] = None  # None = single device
     dense_block_chars: Optional[int] = None  # None = single joint sort;
                                     # else stream the collection in blocks
     dense_parallel: bool = False    # fan blocks out over all local devices

@@ -18,7 +18,7 @@ import numpy as np
 from ..config import Config
 from ..io import fasta
 from ..index.host import ReferenceIndex, build_reference_index
-from ..utils.timing import PhaseTimer
+from ..utils.timing import PhaseTimer, maybe_jax_trace
 from . import heads as heads_mod
 from . import merge as merge_mod
 from . import ranking as ranking_mod
@@ -39,7 +39,8 @@ class PipelineResult:
 def compute_bwt_arrays(index: ReferenceIndex, coll: fasta.Collection,
                        rle_quirk: bool,
                        ms: MSArrays | None = None,
-                       timer: PhaseTimer | None = None) -> PipelineResult:
+                       timer: PhaseTimer | None = None,
+                       buffer_bytes: int | None = None) -> PipelineResult:
     """Run the full CMS pipeline on in-memory arrays.
 
     ``ms`` may be precomputed (e.g. by the device kernel); otherwise the
@@ -52,12 +53,14 @@ def compute_bwt_arrays(index: ReferenceIndex, coll: fasta.Collection,
             ms = ms_scan_collection(index, coll.sx, coll.sep_positions)
     with timer.phase("head_extract"):
         heads = heads_mod.extract_heads(index, ms, coll.sx)
-    return merge_from_heads(index, heads, d, coll.sn, rle_quirk, timer)
+    return merge_from_heads(index, heads, d, coll.sn, rle_quirk, timer,
+                            buffer_bytes=buffer_bytes)
 
 
 def merge_from_heads(index: ReferenceIndex, heads, d: int, sn: int,
                      rle_quirk: bool,
-                     timer: PhaseTimer | None = None) -> PipelineResult:
+                     timer: PhaseTimer | None = None,
+                     buffer_bytes: int | None = None) -> PipelineResult:
     """Downstream engine: head fixup -> grouping -> ranking -> tail
     positioning -> run assembly. Input-agnostic (host scan, device lane
     kernel, or dense joint-sort all produce the same head records).
@@ -83,7 +86,8 @@ def merge_from_heads(index: ReferenceIndex, heads, d: int, sn: int,
     with timer.phase("head_rank"):
         ranked = ranking_mod.rank_heads(index, classes, heads, d)
     with timer.phase("tail_position"):
-        counter = tails_mod.position_tails(index, classes, ranked)
+        counter = tails_mod.position_tails(index, classes, ranked,
+                                           buffer_bytes=buffer_bytes)
     with timer.phase("merge"):
         run_len, run_char = merge_mod.build_runs(
             index, classes, ranked, counter, tails_cnt, d, rle_quirk)
@@ -139,28 +143,37 @@ def compute_bwt(cfg: Config) -> dict:
         # one device pipeline; only O(n + H) data reaches the host
         from ..ops.ms_dense import DenseHeadsResult, ms_dense_heads
         from ..utils.checkpoint import CheckpointManager, file_stamp
-        from .heads import HeadArrays
         ckpt = CheckpointManager(cfg.checkpoint_dir)
         fp = ckpt.fingerprint(ref=file_stamp(ref_path),
                               coll=file_stamp(coll_path),
                               prefix=cfg.prefix_length, phase="dense_heads")
         cached = ckpt.load("dense_heads", fp) if cfg.checkpoint_dir else None
-        with timer.phase("ms_scan"):
+        # --parallel without --block-chars: derive a per-device block size
+        # (ceil(sn / n_devices), capped by the reference's phrase-chunk cap)
+        block_chars = cfg.dense_block_chars
+        if cfg.dense_parallel and not block_chars:
+            import jax
+            ndev = max(1, len(jax.local_devices()))
+            block_chars = max(min(-(-coll.sn // ndev),
+                                  cfg.chunk_cap_bytes // 8), 1 << 16)
+        with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
             if cached is not None:
                 cached = {k: v for k, v in cached.items()}
                 dres = DenseHeadsResult(
                     h=int(cached.pop("h")), sn=int(cached.pop("sn")),
                     irreducible=int(cached.pop("irreducible")), **cached)
-            elif cfg.dense_block_chars and cfg.dense_parallel:
+            elif block_chars and cfg.dense_parallel:
                 from ..parallel.blocked import ms_dense_heads_parallel
                 dres = ms_dense_heads_parallel(
-                    x_aug, coll.sx, block_chars=cfg.dense_block_chars,
-                    ctx_chars=cfg.dense_ctx_chars)
-            elif cfg.dense_block_chars:
+                    x_aug, coll.sx, block_chars=block_chars,
+                    ctx_chars=cfg.dense_ctx_chars,
+                    checkpoint_dir=cfg.checkpoint_dir, fingerprint=fp)
+            elif block_chars:
                 from ..ops.ms_dense import ms_dense_heads_blocked
                 dres = ms_dense_heads_blocked(
-                    x_aug, coll.sx, block_chars=cfg.dense_block_chars,
-                    ctx_chars=cfg.dense_ctx_chars)
+                    x_aug, coll.sx, block_chars=block_chars,
+                    ctx_chars=cfg.dense_ctx_chars,
+                    checkpoint_dir=cfg.checkpoint_dir, fingerprint=fp)
             else:
                 dres = ms_dense_heads(x_aug, coll.sx)
             if cached is None and cfg.checkpoint_dir:
@@ -173,28 +186,38 @@ def compute_bwt(cfg: Config) -> dict:
                     "ref_bwt": dres.ref_bwt,
                     "h": np.int64(dres.h), "sn": np.int64(dres.sn),
                     "irreducible": np.int64(dres.irreducible)})
-        index = ReferenceIndex(
-            x=x_aug,
-            x_padded=np.concatenate([x_aug, np.zeros(1, np.uint8)]),
-            n=len(x_aug), sa=dres.ref_sa, isa=dres.ref_isa,
-            lcp=np.zeros(len(x_aug) + 1, np.int32),
-            plcp=np.zeros(len(x_aug), np.int32),
-            bwt=dres.ref_bwt, rank_history=[])
-        heads = HeadArrays(
-            t=dres.head_t, pos=dres.head_pos, length=dres.head_len,
-            smaller=dres.head_smaller, char=dres.head_char,
-            to_next=np.zeros(dres.h, np.int64),
-            isa_next=np.zeros(dres.h, np.int64),
-            succ=np.zeros(dres.h, np.int64), h=dres.h)
+        index, heads = dense_result_to_inputs(x_aug, dres)
         result = merge_from_heads(index, heads, coll.d, coll.sn,
                                   rle_quirk=cfg.rle and
                                   cfg.replicate_reference_rle_quirk,
-                                  timer=timer)
+                                  timer=timer,
+                                  buffer_bytes=cfg.buffer_gib << 30)
         return _write_outputs(cfg, outname, index, result, timer)
 
     rle_quirk = cfg.rle and cfg.replicate_reference_rle_quirk
-    result = compute_bwt_arrays(index, coll, rle_quirk, ms=ms, timer=timer)
+    result = compute_bwt_arrays(index, coll, rle_quirk, ms=ms, timer=timer,
+                                buffer_bytes=cfg.buffer_gib << 30)
     return _write_outputs(cfg, outname, index, result, timer)
+
+
+def dense_result_to_inputs(x_aug: np.ndarray, dres):
+    """(ReferenceIndex, HeadArrays) from a DenseHeadsResult — shared by the
+    pipeline and the model API (cmsbwt_tpu/models)."""
+    from .heads import HeadArrays
+    index = ReferenceIndex(
+        x=x_aug,
+        x_padded=np.concatenate([x_aug, np.zeros(1, np.uint8)]),
+        n=len(x_aug), sa=dres.ref_sa, isa=dres.ref_isa,
+        lcp=np.zeros(len(x_aug) + 1, np.int32),
+        plcp=np.zeros(len(x_aug), np.int32),
+        bwt=dres.ref_bwt, rank_history=[])
+    heads = HeadArrays(
+        t=dres.head_t, pos=dres.head_pos, length=dres.head_len,
+        smaller=dres.head_smaller, char=dres.head_char,
+        to_next=np.zeros(dres.h, np.int64),
+        isa_next=np.zeros(dres.h, np.int64),
+        succ=np.zeros(dres.h, np.int64), h=dres.h)
+    return index, heads
 
 
 def _write_outputs(cfg: Config, outname: str, index: ReferenceIndex,
@@ -222,8 +245,10 @@ def _write_outputs(cfg: Config, outname: str, index: ReferenceIndex,
             else:
                 data = merge_mod.runs_to_plain(result.run_len,
                                                result.run_char)
+            wb = max(int(cfg.write_buffer_bytes), 1 << 12)
             with open(out_path, "wb") as f:
-                f.write(data)
+                for i in range(0, len(data), wb):  # ref's 1 MiB buffer (:943)
+                    f.write(data[i:i + wb])
             nbytes = len(data)
     with open(outname + ".log", "w") as f:
         f.write(timer.report())

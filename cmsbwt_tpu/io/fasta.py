@@ -156,8 +156,12 @@ def _parse_collection_impl(lines: list[bytes], sn_limit: int) -> Collection:
             flush_doc()
         else:
             characters_read += len(line)
-            if characters_read >= sn_limit - 1:
-                take = len(line) - (characters_read - sn_limit) - 1
+            # sn_limit <= 0: the reference's uint64 `charactersRead >= _sn-1`
+            # wraps and never truncates — treat as no limit (the native
+            # parser does the same)
+            if sn_limit > 0 and characters_read >= sn_limit - 1:
+                take = min(max(len(line) - (characters_read - sn_limit) - 1,
+                               0), len(line))
                 sx += line[:take]
                 cur_doc_len += take
                 break

@@ -41,11 +41,16 @@ def get_lib():
         try:
             if (not so.exists() or
                     so.stat().st_mtime < _SRC.stat().st_mtime):
+                # build to a per-process temp and os.replace() (atomic) so a
+                # concurrent process never CDLLs a half-written .so
+                tmp_so = so.with_name(f".libcmsbwt_io.{os.getpid()}.so")
                 r = subprocess.run(
                     ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", str(_SRC),
-                     "-o", str(so)], capture_output=True)
+                     "-o", str(tmp_so)], capture_output=True)
                 if r.returncode != 0:
+                    tmp_so.unlink(missing_ok=True)
                     return None
+                os.replace(tmp_so, so)
             lib = ctypes.CDLL(str(so))
             lib.cms_parse_collection.restype = ctypes.c_int64
             lib.cms_parse_collection.argtypes = [

@@ -15,8 +15,7 @@ import numpy as np
 from ..config import Config
 from ..engine import merge as merge_mod
 from ..engine import pipeline as pipeline_mod
-from ..engine.heads import HeadArrays
-from ..engine.ms_host import MSArrays, ms_scan_collection
+from ..engine.ms_host import MSArrays
 from ..index.host import ReferenceIndex, build_reference_index
 from ..io import fasta
 from ..utils.timing import PhaseTimer
@@ -69,29 +68,33 @@ class CMSBWT:
         backend = _resolve_backend(backend or cfg.backend, len(coll.sx))
         timer = PhaseTimer()
         rle_quirk = rle and cfg.replicate_reference_rle_quirk
+        buffer_bytes = cfg.buffer_gib << 30
         if backend == "dense":
             from ..ops.ms_dense import ms_dense_heads
             with timer.phase("ms_scan"):
                 dres = ms_dense_heads(self.x_aug, coll.sx)
-            index = ReferenceIndex(
-                x=self.x_aug,
-                x_padded=np.concatenate([self.x_aug,
-                                         np.zeros(1, np.uint8)]),
-                n=len(self.x_aug), sa=dres.ref_sa, isa=dres.ref_isa,
-                lcp=np.zeros(len(self.x_aug) + 1, np.int32),
-                plcp=np.zeros(len(self.x_aug), np.int32),
-                bwt=dres.ref_bwt, rank_history=[])
-            heads = HeadArrays(
-                t=dres.head_t, pos=dres.head_pos, length=dres.head_len,
-                smaller=dres.head_smaller, char=dres.head_char,
-                to_next=np.zeros(dres.h, np.int64),
-                isa_next=np.zeros(dres.h, np.int64),
-                succ=np.zeros(dres.h, np.int64), h=dres.h)
+            index, heads = pipeline_mod.dense_result_to_inputs(
+                self.x_aug, dres)
             result = pipeline_mod.merge_from_heads(
-                index, heads, coll.d, coll.sn, rle_quirk, timer)
+                index, heads, coll.d, coll.sn, rle_quirk, timer,
+                buffer_bytes=buffer_bytes)
+        elif backend == "device":
+            from ..index.device import build_device_index
+            from ..ops.ms_device import ms_scan_device
+            dindex = build_device_index(self.x_aug)
+            index = pipeline_mod._export_device_index(dindex, self.x_aug)
+            with timer.phase("ms_scan"):
+                dev = ms_scan_device(dindex, coll.sx, lanes=cfg.lanes,
+                                     window=cfg.skip_window)
+            ms = MSArrays(pos=dev.pos, length=dev.length,
+                          smaller=dev.smaller, is_head=dev.is_head)
+            result = pipeline_mod.compute_bwt_arrays(
+                index, coll, rle_quirk, ms=ms, timer=timer,
+                buffer_bytes=buffer_bytes)
         else:
             result = pipeline_mod.compute_bwt_arrays(
-                self.index, coll, rle_quirk, timer=timer)
+                self.index, coll, rle_quirk, timer=timer,
+                buffer_bytes=buffer_bytes)
         bwt_bytes = rle_bytes = None
         with timer.phase("encode"):
             if rle:

@@ -463,6 +463,55 @@ def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
 # (ref CMS-BWT-functions.cpp:1131-1416): blocks are independent, so they
 # stream on one chip or fan out across a mesh.
 
+class _BlockCheckpoints:
+    """Per-block head persistence: blocked scans resume after a crash
+    without recomputing finished blocks (restartable form of the reference's
+    ``.phrases`` spill, ref CMS-BWT-functions.cpp:1135-1416)."""
+
+    def __init__(self, directory: str, fingerprint: str, block_chars: int):
+        from ..utils.checkpoint import CheckpointManager
+        self.mgr = CheckpointManager(directory)
+        self.fp = f"{fingerprint}:b{block_chars}"
+
+    def load_block(self, b0: int):
+        data = self.mgr.load(f"dense_block_{b0}", self.fp)
+        if data is None:
+            return None
+        part = {k: data[k] for k in ("t", "pos", "length", "smaller", "char")}
+        return dict(part=part, rho=int(data["rho"]),
+                    last_pos=int(data["last_pos"]),
+                    ref_sa=data.get("ref_sa"), ref_isa=data.get("ref_isa"))
+
+    def save_block(self, b0: int, part: dict, rho: int, last_pos: int,
+                   ref_sa=None, ref_isa=None) -> None:
+        arrays = dict(part)
+        arrays["rho"] = np.int64(rho)
+        arrays["last_pos"] = np.int64(last_pos)
+        if ref_sa is not None:
+            arrays["ref_sa"] = ref_sa
+            arrays["ref_isa"] = ref_isa
+        self.mgr.save(f"dense_block_{b0}", self.fp, arrays)
+
+
+def _block_ckpt(directory, fingerprint, block_chars):
+    return (_BlockCheckpoints(directory, fingerprint or "", block_chars)
+            if directory else None)
+
+
+class _NullProgress:
+    def update(self, chars: int) -> None:
+        pass
+
+
+def _block_progress(sn: int):
+    """Throughput progress for blocked scans (blocks done, Mchars/s)."""
+    try:
+        from ..utils.logging import Progress, get_logger
+        return Progress(get_logger(), sn)
+    except Exception:
+        return _NullProgress()
+
+
 @functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
 def _postprocess_block(j, pos, length, smaller, n, emit_len, scale,
                        prev_pos0, prev_j0, n_pad: int, sn_pad: int):
@@ -497,11 +546,18 @@ def _postprocess_block(j, pos, length, smaller, n, emit_len, scale,
 
 
 def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
-                           block_chars: int, ctx_chars: int | None = None
+                           block_chars: int, ctx_chars: int | None = None,
+                           checkpoint_dir: str | None = None,
+                           fingerprint: str | None = None
                            ) -> DenseHeadsResult:
     """Streaming/blocked dense MS: processes the collection in blocks of
     ``block_chars`` with an adaptive right-context (bounded memory; blocks
-    are the distribution unit for multi-chip)."""
+    are the distribution unit for multi-chip).
+
+    With ``checkpoint_dir`` each completed block's compacted heads are
+    persisted under (fingerprint, block) — a crash mid-scan resumes without
+    recomputing finished blocks (the restartable generalization of the
+    reference's ``.phrases`` spill, ref CMS-BWT-functions.cpp:1135-1416)."""
     from ..utils.jaxcache import bucket_size, enable_compilation_cache
     enable_compilation_cache()
     n = len(x_aug)
@@ -515,9 +571,9 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
     _check_alphabet_capacity(
         s_total, n_pad + bucket_size(block_chars + (ctx_chars or 0)) + 8,
         int(x_aug.max()) if n else 0)
-    x_u8 = np.zeros(n_pad, np.uint8)
-    x_u8[:n] = x_aug
-    x_dev = jnp.asarray(x_u8)              # reference uploaded once
+    ckpt = _block_ckpt(checkpoint_dir, fingerprint, block_chars)
+    progress = _block_progress(sn)
+    x_dev = None
 
     head_parts: list[dict] = []
     ref_sa = ref_isa = None
@@ -527,6 +583,24 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
     b0 = 0
     while b0 < sn:
         emit_len = min(block_chars, sn - b0)
+        cached = ckpt.load_block(b0) if ckpt else None
+        if cached is not None:
+            head_parts.append(cached["part"])
+            total_rho += cached["rho"]
+            prev_pos0 = cached["last_pos"]
+            if ref_sa is None and cached.get("ref_sa") is not None:
+                ref_sa, ref_isa = cached["ref_sa"], cached["ref_isa"]
+            last_t = b0 + emit_len - 1
+            c = int(sx[last_t])
+            prev_j0 = (2 * scale_i + int(sep_cum[last_t]) - 1
+                       if c == SEPARATOR else c * scale_i)
+            b0 += emit_len
+            progress.update(emit_len)
+            continue
+        if x_dev is None:
+            x_u8 = np.zeros(n_pad, np.uint8)
+            x_u8[:n] = x_aug
+            x_dev = jnp.asarray(x_u8)      # reference uploaded once
         ctx = ctx_chars
         while True:
             end = min(b0 + emit_len + ctx, sn)
@@ -574,21 +648,27 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
         out_t, out_pos, out_len, out_sml, out_chr = _compact_heads(
             pos, length, smaller, is_head, char, jnp.int32(scale_i),
             bs_pad, h_pad)
-        head_parts.append(dict(
+        part = dict(
             t=np.asarray(out_t)[:h].astype(np.int64) + b0,
             pos=np.asarray(out_pos)[:h].astype(np.int64),
             length=np.asarray(out_len)[:h].astype(np.int64),
             smaller=np.asarray(out_sml)[:h],
-            char=np.asarray(out_chr)[:h].astype(np.uint8)))
+            char=np.asarray(out_chr)[:h].astype(np.uint8))
+        head_parts.append(part)
         if ref_sa is None:
             ref_sa = np.asarray(rsa)[:n]
             ref_isa = np.asarray(risa)[:n]
         prev_pos0 = last_pos
+        if ckpt:
+            ckpt.save_block(b0, part, rho, last_pos,
+                            ref_sa if b0 == 0 else None,
+                            ref_isa if b0 == 0 else None)
         last_t = b0 + emit_len - 1
         c = int(sx[last_t])
         prev_j0 = (2 * scale_i + int(sep_cum[last_t]) - 1
                    if c == SEPARATOR else c * scale_i)
         b0 += emit_len
+        progress.update(emit_len)
 
     ref_bwt = np.where(ref_sa > 0, x_aug[np.maximum(ref_sa - 1, 0)],
                        np.uint8(0)).astype(np.uint8)

@@ -26,7 +26,9 @@ from ..ops import ms_dense as MD
 def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
                             block_chars: int, ctx_chars: int | None = None,
                             devices=None,
-                            blocks_in_flight: int | None = None
+                            blocks_in_flight: int | None = None,
+                            checkpoint_dir: str | None = None,
+                            fingerprint: str | None = None
                             ) -> MD.DenseHeadsResult:
     from ..utils.jaxcache import bucket_size, enable_compilation_cache
     enable_compilation_cache()
@@ -81,9 +83,26 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         # two blocks per device keeps the queue busy between host syncs;
         # each in-flight block holds its rank history (~levels*m_b int32)
         blocks_in_flight = 2 * len(devices)
+    ckpt = MD._block_ckpt(checkpoint_dir, fingerprint, block_chars)
+    progress = MD._block_progress(sn)
     pending = list(range(len(blocks)))
     results = [None] * len(blocks)
     ref_sa_holder = [None, None]
+    if ckpt:
+        still = []
+        for bi in pending:
+            cached = ckpt.load_block(blocks[bi]["b0"])
+            if cached is None:
+                still.append(bi)
+                continue
+            part = cached["part"]
+            results[bi] = dict(rho=cached["rho"], h=len(part["t"]),
+                               last_pos=cached["last_pos"], **part)
+            if ref_sa_holder[0] is None and cached.get("ref_sa") is not None:
+                ref_sa_holder[0] = cached["ref_sa"]
+                ref_sa_holder[1] = cached["ref_isa"]
+            progress.update(blocks[bi]["emit"])
+        pending = still
     while pending:
         wave, pending = (pending[:blocks_in_flight],
                          pending[blocks_in_flight:])
@@ -154,6 +173,16 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             if ref_sa_holder[0] is None:
                 ref_sa_holder[0] = np.asarray(rsa)[:n]
                 ref_sa_holder[1] = np.asarray(risa)[:n]
+            if ckpt:
+                first = blocks[bi]["b0"] == 0
+                ckpt.save_block(
+                    blocks[bi]["b0"],
+                    {k: results[bi][k]
+                     for k in ("t", "pos", "length", "smaller", "char")},
+                    rho, last_pos,
+                    ref_sa_holder[0] if first else None,
+                    ref_sa_holder[1] if first else None)
+            progress.update(blocks[bi]["emit"])
         pending = new_pending + pending
 
     # host fixup: block-first positions that chain from the previous block's

@@ -3,7 +3,21 @@ ref CMS-BWT-functions.cpp:248-309 etc.)."""
 from __future__ import annotations
 
 import contextlib
+import os
 import time
+
+
+@contextlib.contextmanager
+def maybe_jax_trace(phase: str):
+    """jax.profiler trace dump for one phase when CMSBWT_TRACE_DIR is set
+    (SURVEY.md §5 tracing row; view with TensorBoard / xprof)."""
+    trace_dir = os.environ.get("CMSBWT_TRACE_DIR")
+    if not trace_dir:
+        yield
+        return
+    import jax
+    with jax.profiler.trace(os.path.join(trace_dir, phase)):
+        yield
 
 
 class PhaseTimer:

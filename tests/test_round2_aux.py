@@ -1,0 +1,122 @@
+"""Round-2 aux coverage: per-block checkpoint/resume, large-n two-key tail
+positioning, -b–bounded batching, derived --parallel block size, -p edge."""
+import numpy as np
+import pytest
+
+from cmsbwt_tpu.config import Config
+from cmsbwt_tpu.engine.pipeline import compute_bwt
+from cmsbwt_tpu.io import fasta
+
+from helpers import make_inputs, mutate, random_dna
+
+
+def _workload(tmp_path, seed=3, n=400, ndocs=4, snp=0.02):
+    rng = np.random.default_rng(seed)
+    ref = random_dna(rng, n)
+    docs = [mutate(rng, ref, snp) for _ in range(ndocs)]
+    return make_inputs(tmp_path, ref, docs) + (ref, docs)
+
+
+def test_blocked_per_block_resume(tmp_path, monkeypatch):
+    """A crash after block k resumes without recomputing blocks <= k."""
+    lst, ref_path, coll_path, ref, docs = _workload(tmp_path)
+    from cmsbwt_tpu.ops import ms_dense as MD
+    x_aug = fasta.augment_reference(ref)
+    coll = fasta.parse_collection(
+        str(coll_path), fasta.collection_sn_limit(str(coll_path), 2**63))
+    base = MD.ms_dense_heads_blocked(x_aug, coll.sx, block_chars=500)
+
+    ck = str(tmp_path / "ck")
+    orig = MD._joint_sa
+    calls = {"n": 0}
+
+    def crashing(j, m):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("simulated crash")
+        return orig(j, m)
+
+    monkeypatch.setattr(MD, "_joint_sa", crashing)
+    with pytest.raises(RuntimeError):
+        MD.ms_dense_heads_blocked(x_aug, coll.sx, block_chars=500,
+                                  checkpoint_dir=ck, fingerprint="t")
+
+    def counting(j, m):
+        calls["n"] += 1
+        return orig(j, m)
+
+    calls["n"] = 0
+    monkeypatch.setattr(MD, "_joint_sa", counting)
+    res = MD.ms_dense_heads_blocked(x_aug, coll.sx, block_chars=500,
+                                    checkpoint_dir=ck, fingerprint="t")
+    n_blocks = -(-len(coll.sx) // 500)
+    assert calls["n"] == n_blocks - 2, "finished blocks were recomputed"
+    np.testing.assert_array_equal(res.head_t, base.head_t)
+    np.testing.assert_array_equal(res.head_pos, base.head_pos)
+    np.testing.assert_array_equal(res.head_len, base.head_len)
+    np.testing.assert_array_equal(res.ref_sa, base.ref_sa)
+
+
+def test_parallel_blocked_resume(tmp_path):
+    """The multi-device fan-out reuses per-block checkpoints too."""
+    lst, ref_path, coll_path, ref, docs = _workload(tmp_path, seed=5)
+    from cmsbwt_tpu.ops import ms_dense as MD
+    from cmsbwt_tpu.parallel.blocked import ms_dense_heads_parallel
+    x_aug = fasta.augment_reference(ref)
+    coll = fasta.parse_collection(
+        str(coll_path), fasta.collection_sn_limit(str(coll_path), 2**63))
+    ck = str(tmp_path / "ck")
+    a = ms_dense_heads_parallel(x_aug, coll.sx, block_chars=300,
+                                checkpoint_dir=ck, fingerprint="p")
+    b = ms_dense_heads_parallel(x_aug, coll.sx, block_chars=300,
+                                checkpoint_dir=ck, fingerprint="p")
+    np.testing.assert_array_equal(a.head_t, b.head_t)
+    np.testing.assert_array_equal(a.head_pos, b.head_pos)
+    single = MD.ms_dense_heads(x_aug, coll.sx)
+    np.testing.assert_array_equal(b.head_t, single.head_t)
+
+
+def test_tails_two_key_path(tmp_path, monkeypatch):
+    """Forced two-key (unpacked) tail positioning is byte-identical —
+    the >1.5 Gbp reference regime without the int64 key pack."""
+    rng = np.random.default_rng(7)
+    ref = random_dna(rng, 300)
+    # duplicate documents force the exact/counterBad merge path
+    docs = [mutate(rng, ref, 0.03)] * 2 + [mutate(rng, ref, 0.03)
+                                           for _ in range(2)]
+    lst, _, _ = make_inputs(tmp_path, ref, docs)
+    cfg = Config(filename=str(lst), outname=str(tmp_path / "a"),
+                 backend="host")
+    compute_bwt(cfg)
+    import cmsbwt_tpu.engine.tails as tails
+    monkeypatch.setattr(tails, "_FORCE_TWO_KEY", True)
+    monkeypatch.setattr(tails, "_MIN_BATCH_PAIRS", 4)  # exercise batching
+    cfg2 = Config(filename=str(lst), outname=str(tmp_path / "b"),
+                  backend="host", buffer_gib=1)
+    compute_bwt(cfg2)
+    assert (tmp_path / "a.bwt").read_bytes() == \
+        (tmp_path / "b.bwt").read_bytes()
+
+
+def test_parallel_without_block_chars(tmp_path):
+    """--parallel with no --block-chars derives a per-device block size."""
+    lst, *_ = _workload(tmp_path, seed=9)
+    cfg = Config(filename=str(lst), outname=str(tmp_path / "p"),
+                 backend="dense", dense_parallel=True)
+    compute_bwt(cfg)
+    cfg2 = Config(filename=str(lst), outname=str(tmp_path / "h"),
+                  backend="host")
+    compute_bwt(cfg2)
+    assert (tmp_path / "p.bwt").read_bytes() == \
+        (tmp_path / "h.bwt").read_bytes()
+
+
+def test_prefix_zero_no_truncation(tmp_path):
+    """sn_limit <= 0: the reference's uint64 wrap means no truncation."""
+    rng = np.random.default_rng(11)
+    ref = random_dna(rng, 100)
+    docs = [mutate(rng, ref, 0.05)]
+    lst, ref_path, coll_path = make_inputs(tmp_path, ref, docs)
+    full = fasta.parse_collection(str(coll_path), 2**63, use_native=False)
+    zero = fasta.parse_collection(str(coll_path), 0, use_native=False)
+    np.testing.assert_array_equal(full.sx, zero.sx)
