@@ -50,10 +50,11 @@ PAD_VAL = np.int32(2**30)  # sorts above every mapped char; pad suffixes
                            # cluster at the top of the joint SA (see below)
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def _joint_sa(j: jnp.ndarray, m: int):
-    from ..index.device import suffix_array_device
-    return suffix_array_device(j, m)  # (sa, isa, history, k_star)
+def _joint_sa(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray, m: int):
+    """Window-8–seeded doubling sort (ops/joint_sa.py); returns
+    (sa, isa, hist, f1, k_star)."""
+    from .joint_sa import joint_suffix_array
+    return joint_suffix_array(j, b, sp, m)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
@@ -63,19 +64,33 @@ def _build_joint_device(x_u8, sx_u8, n, sn, scale, sep_base,
     link runs at tens of MB/s; the int32 map is 4x the bytes).
 
     sep_base = number of separators before this block (global numbering).
+
+    Returns (j, b, sp): the int32 joint symbols plus the byte image and
+    special-instance ranks consumed by the seeded suffix sort
+    (ops/joint_sa.py) — real chars keep their byte, separators share byte 2,
+    pads share byte 255, and ``sp`` carries each special's instance rank.
     """
     # pads get DISTINCT ascending values above all real symbols so pad
     # suffixes resolve at window 1 (constant pads stall early convergence)
     ridx = jnp.arange(n_pad, dtype=jnp.int32)
-    jx = jnp.where(ridx < n, x_u8.astype(jnp.int32) * scale,
-                   PAD_VAL + ridx)
+    is_xpad = ridx >= n
+    jx = jnp.where(is_xpad, PAD_VAL + ridx, x_u8.astype(jnp.int32) * scale)
+    bx = jnp.where(is_xpad, jnp.uint8(255), x_u8)
+    spx = jnp.where(is_xpad, ridx + 1, 0).astype(jnp.int32)
     tidx = jnp.arange(sn_pad, dtype=jnp.int32)
     sxi = sx_u8.astype(jnp.int32)
     is_sep = (tidx < sn) & (sxi == SEPARATOR)
     sep_rank = jnp.cumsum(is_sep.astype(jnp.int32)) - 1
-    jsx = jnp.where(tidx < sn, sxi * scale, PAD_VAL + n_pad + tidx)
+    is_tpad = tidx >= sn
+    jsx = jnp.where(is_tpad, PAD_VAL + n_pad + tidx, sxi * scale)
     jsx = jnp.where(is_sep, 2 * scale + sep_base + sep_rank, jsx)
-    return jnp.concatenate([jx, jsx])
+    bsx = jnp.where(is_tpad, jnp.uint8(255),
+                    jnp.where(is_sep, jnp.uint8(SEPARATOR), sx_u8))
+    spsx = jnp.where(is_tpad, n_pad + tidx + 1,
+                     jnp.where(is_sep, sep_base + sep_rank + 1, 0)
+                     ).astype(jnp.int32)
+    return (jnp.concatenate([jx, jsx]), jnp.concatenate([bx, bsx]),
+            jnp.concatenate([spx, spsx]))
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n_pad"))
@@ -105,29 +120,20 @@ def _irreducible_slots(j, sa, isa, n, sn, m: int, n_pad: int):
 
 
 @functools.partial(jax.jit, static_argnames=("m", "rho_pad"))
-def _lift_and_fill(history, ai_all, bi_all, sa, isa, k_star, m: int,
+def _lift_and_fill(hist, f1, j, ai_all, bi_all, sa, isa, k_star, m: int,
                    rho_pad: int):
     """Lift lcp(ai, bi) for the first rho_pad compacted pairs, fill PLCP for
     all text positions, and return the adjacent joint LCP in SA order.
 
     ``k_star`` bounds the lift: ranks are fully distinct at level k_star, so
     every pairwise lcp is < 2^k_star and higher levels cannot match — the
-    loop runs k = k_star-1 .. 0 only (dynamic trip count)."""
+    rank-history loop runs k = k_star-1 .. 3; levels 2/1/0 go through the
+    fingerprints (ops/joint_sa.py)."""
+    from .joint_sa import lift_pairs
     ai = jax.lax.dynamic_slice(ai_all, (0,), (rho_pad,))
     bi = jax.lax.dynamic_slice(bi_all, (0,), (rho_pad,))
     valid = ai < m
-    h = jnp.zeros(rho_pad, jnp.int32)
-
-    def body(i, h):
-        k = k_star - 1 - i
-        rk = history[jnp.maximum(k, 0)]
-        va = ai + h
-        vb = bi + h
-        ok = valid & (va < m) & (vb < m)
-        eq = ok & (rk[jnp.clip(va, 0, m - 1)] == rk[jnp.clip(vb, 0, m - 1)])
-        return h + jnp.where(eq, jnp.int32(1) << k, 0)
-
-    h = jax.lax.fori_loop(0, k_star, body, h)
+    h = lift_pairs(hist, f1, j, ai, bi, k_star, m)
     # scatter rho values to text order (rho-sized scatter), then cummax fill
     base = jnp.full(m, INT_MIN, jnp.int32).at[
         jnp.where(valid, ai, m)].set(
@@ -351,6 +357,10 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     sn = len(sx)
     n_pad = bucket_size(n) if bucketed else n
     sn_pad = bucket_size(sn) if bucketed else sn
+    # the seeded sort requires the joint string to end with a special
+    # (pad or separator) — see ops/joint_sa.py
+    if sn_pad == sn and (sn == 0 or sx[-1] != SEPARATOR):
+        sn_pad = bucket_size(sn + 1) if bucketed else sn + 1
     m = n_pad + sn_pad
     s = int((sx == SEPARATOR).sum())
     _check_alphabet_capacity(s, m, int(x_aug.max()) if n else 0)
@@ -361,18 +371,19 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     x_u8[:n] = x_aug
     sx_u8 = np.zeros(sn_pad, np.uint8)
     sx_u8[:sn] = sx
-    j = _build_joint_device(jnp.asarray(x_u8), jnp.asarray(sx_u8), n_t,
-                            sn_t, scale, jnp.int32(0), n_pad, sn_pad)
+    j, b, sp = _build_joint_device(jnp.asarray(x_u8), jnp.asarray(sx_u8),
+                                   n_t, sn_t, scale, jnp.int32(0),
+                                   n_pad, sn_pad)
     mark("upload+build_joint", j)
 
-    sa, isa, history, k_star = _joint_sa(j, m)
+    sa, isa, hist, f1, k_star = _joint_sa(j, b, sp, m)
     mark("joint_sa", sa)
     rho_dev, ai_all, bi_all = _irreducible_slots(j, sa, isa, n_t, sn_t,
                                                   m, n_pad)
     rho = int(np.asarray(rho_dev))
     mark("irreducible(rho=%d)" % rho, ai_all)
     rho_pad = min(_pow2_pad(rho), m)
-    ell = _lift_and_fill(history, ai_all, bi_all, sa, isa, k_star, m,
+    ell = _lift_and_fill(hist, f1, j, ai_all, bi_all, sa, isa, k_star, m,
                          rho_pad)
     mark("lift_and_fill", ell)
     pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
@@ -608,22 +619,24 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             # fixed bucket for every block (incl. the short last one) so all
             # blocks share one set of compiled shapes
             bs_pad = bucket_size(block_chars + ctx)
+            if bs_pad == len(sx_blk) and sx_blk[-1] != SEPARATOR:
+                bs_pad = bucket_size(bs_pad + 1)  # joint must end special
             m = n_pad + bs_pad
             # joint string built on device with GLOBAL separator numbering
             sx_u8 = np.zeros(bs_pad, np.uint8)
             sx_u8[: len(sx_blk)] = sx_blk
             sep_base = int(sep_cum[b0 - 1]) if b0 > 0 else 0
-            j = _build_joint_device(
+            j, b, sp = _build_joint_device(
                 x_dev, jnp.asarray(sx_u8), jnp.int32(n),
                 jnp.int32(len(sx_blk)), jnp.int32(scale_i),
                 jnp.int32(sep_base), n_pad, bs_pad)
             n_t = jnp.int32(n)
-            sa, isa, history, k_star = _joint_sa(j, m)
+            sa, isa, hist, f1, k_star = _joint_sa(j, b, sp, m)
             rho_dev, ai_all, bi_all = _irreducible_slots(
                 j, sa, isa, jnp.int32(n), jnp.int32(len(sx_blk)), m, n_pad)
             rho = int(np.asarray(rho_dev))
             rho_pad = min(_pow2_pad(rho), m)
-            ell = _lift_and_fill(history, ai_all, bi_all, sa, isa,
+            ell = _lift_and_fill(hist, f1, j, ai_all, bi_all, sa, isa,
                                  k_star, m, rho_pad)
             pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
             pos, length, smaller, rsa, risa = _assemble(

@@ -67,6 +67,8 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         sx_blk = sx[b0:end]
         # fixed bucket for every block so shapes are shared
         bs_pad = bucket_size(block_chars + ctx)
+        if bs_pad == len(sx_blk) and sx_blk[-1] != SEPARATOR:
+            bs_pad = bucket_size(bs_pad + 1)  # joint must end special
         sx_u8 = np.zeros(bs_pad, np.uint8)
         sx_u8[: len(sx_blk)] = sx_blk
         sep_base = int(sep_cum[b0 - 1]) if b0 > 0 else 0
@@ -111,22 +113,22 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         for i, bi in enumerate(wave):
             blk = blocks[bi]
             dev = devices[i % len(devices)]
-            j = build_j(blk, dev)
-            sa, isa, history, k_star = MD._joint_sa(j, blk["m"])
+            j, b, sp = build_j(blk, dev)
+            sa, isa, hist, f1, k_star = MD._joint_sa(j, b, sp, blk["m"])
             rho_dev, ai_all, bi_all = MD._irreducible_slots(
                 j, sa, isa, jnp.int32(n), jnp.int32(blk["len_blk"]),
                 blk["m"], n_pad)
-            stage.append((bi, j, sa, isa, history, k_star, rho_dev,
+            stage.append((bi, j, sa, isa, hist, f1, k_star, rho_dev,
                           ai_all, bi_all))
         # pass 2: lift -> neighbors -> assemble -> postprocess
         out = []
-        for (bi, j, sa, isa, history, k_star, rho_dev, ai_all,
+        for (bi, j, sa, isa, hist, f1, k_star, rho_dev, ai_all,
              bi_all) in stage:
             blk = blocks[bi]
             m = blk["m"]
             rho = int(np.asarray(rho_dev))
             rho_pad = min(MD._pow2_pad(rho), m)
-            ell = MD._lift_and_fill(history, ai_all, bi_all, sa, isa,
+            ell = MD._lift_and_fill(hist, f1, j, ai_all, bi_all, sa, isa,
                                     k_star, m, rho_pad)
             n_t = jnp.int32(n)
             pred_pos, succ_pos, a, b = MD._neighbors(sa, ell, n_t, m)

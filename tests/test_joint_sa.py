@@ -1,0 +1,79 @@
+"""Seeded joint suffix sort (ops/joint_sa.py) vs the generic doubling sort:
+the two must produce identical SA/ISA on every joint string, including
+separator-dense and pad-boundary configurations."""
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from cmsbwt_tpu.index.device import suffix_array_device
+from cmsbwt_tpu.io.fasta import augment_reference
+from cmsbwt_tpu.ops import ms_dense as MD
+from cmsbwt_tpu.utils.jaxcache import bucket_size
+
+from helpers import mutate, random_dna
+
+
+def _joint(ref_len, docs, seed, doc_len=None, snp=0.05, sep_base=0,
+           bucketed=True, trunc=None):
+    rng = np.random.default_rng(seed)
+    ref = random_dna(rng, ref_len)
+    ds = [np.frombuffer(mutate(rng, ref, snp), np.uint8)[:doc_len]
+          for _ in range(docs)]
+    sep = np.full(1, 2, np.uint8)
+    sx = np.concatenate([sep] + [np.concatenate([d, sep]) for d in ds])
+    if trunc:
+        sx = sx[:trunc]
+    x_aug = augment_reference(ref)
+    n, sn = len(x_aug), len(sx)
+    n_pad = bucket_size(n) if bucketed else n
+    sn_pad = bucket_size(sn) if bucketed else sn
+    if sn_pad == sn and (sn == 0 or sx[-1] != 2):
+        sn_pad = bucket_size(sn + 1) if bucketed else sn + 1
+    # scale covers the GLOBAL separator count (sep_base + this block's own),
+    # exactly as the blocked callers pass it
+    s_total = int((sx == 2).sum()) + sep_base
+    x_u8 = np.zeros(n_pad, np.uint8)
+    x_u8[:n] = x_aug
+    sx_u8 = np.zeros(sn_pad, np.uint8)
+    sx_u8[:sn] = sx
+    return MD._build_joint_device(
+        jnp.asarray(x_u8), jnp.asarray(sx_u8), jnp.int32(n), jnp.int32(sn),
+        jnp.int32(s_total + 1), jnp.int32(sep_base), n_pad, sn_pad)
+
+
+@pytest.mark.parametrize("ref_len,docs,seed,kw", [
+    (300, 4, 0, {}),
+    (300, 4, 1, {"sep_base": 7}),          # blocked-mode global numbering
+    (64, 40, 2, {"doc_len": 5}),           # separator-dense
+    (200, 3, 3, {"snp": 0.0}),             # identical copies (deep ties)
+    (500, 2, 4, {"trunc": 700}),           # truncated (ends mid-document)
+    (128, 1, 5, {"doc_len": 1}),
+])
+def test_seeded_equals_generic(ref_len, docs, seed, kw):
+    j, b, sp = _joint(ref_len, docs, seed, **kw)
+    m = int(j.shape[0])
+    sa_new, isa_new, hist, f1, ks_new = MD._joint_sa(j, b, sp, m)
+    sa_old, isa_old, _, _ = suffix_array_device(j, m)
+    np.testing.assert_array_equal(np.asarray(sa_new), np.asarray(sa_old))
+    np.testing.assert_array_equal(np.asarray(isa_new), np.asarray(isa_old))
+
+
+@pytest.mark.parametrize("seed", range(4))
+def test_lift_pairs_matches_brute_lcp(seed):
+    j, b, sp = _joint(150, 3, 100 + seed, snp=0.02)
+    m = int(j.shape[0])
+    sa, isa, hist, f1, k_star = MD._joint_sa(j, b, sp, m)
+    jn = np.asarray(j)
+    rng = np.random.default_rng(seed)
+    ai = rng.integers(0, m, size=64).astype(np.int32)
+    bi = rng.integers(0, m, size=64).astype(np.int32)
+    from cmsbwt_tpu.ops.joint_sa import lift_pairs
+    h = np.asarray(lift_pairs(hist, f1, j, jnp.asarray(ai), jnp.asarray(bi),
+                              k_star, m))
+    for a, bb_, got in zip(ai, bi, h):
+        x, y = jn[a:], jn[bb_:]
+        k = 0
+        while k < len(x) and k < len(y) and x[k] == y[k]:
+            k += 1
+        assert got == k, (a, bb_, got, k)

@@ -30,20 +30,20 @@ def test_blocked_per_block_resume(tmp_path, monkeypatch):
     orig = MD._joint_sa
     calls = {"n": 0}
 
-    def crashing(j, m):
+    def crashing(*args):
         calls["n"] += 1
         if calls["n"] > 2:
             raise RuntimeError("simulated crash")
-        return orig(j, m)
+        return orig(*args)
 
     monkeypatch.setattr(MD, "_joint_sa", crashing)
     with pytest.raises(RuntimeError):
         MD.ms_dense_heads_blocked(x_aug, coll.sx, block_chars=500,
                                   checkpoint_dir=ck, fingerprint="t")
 
-    def counting(j, m):
+    def counting(*args):
         calls["n"] += 1
-        return orig(j, m)
+        return orig(*args)
 
     calls["n"] = 0
     monkeypatch.setattr(MD, "_joint_sa", counting)
