@@ -1,0 +1,649 @@
+"""Device-side downstream merge: head fixup -> grouping -> ranking -> tail
+positioning -> run assembly, entirely on the accelerator.
+
+Replaces the host numpy/OpenMP engine (heads.py / ranking.py / tails.py /
+merge.py) for the dense backend: head records stay on device after the MS
+scan, the reference index is never downloaded, and only the final run list
+(O(n + H)) crosses the ~tens-of-MB/s host link. Reference semantics
+mirrored per stage:
+
+* fixup           ref CMS-BWT-functions.cpp:566-586   (covering phrase)
+* grouping        ref :594-603 + match.h:23-33        (class map + comparator)
+* ranking         ref :627-695                        (SA walk + libsais_int)
+* tail position   ref :1517-1603                      (incl. counterBad merge)
+* run assembly    ref :939-1085 / :1630-1777          (plain + RLE quirk)
+
+TPU formulation: every per-element binary search becomes a SORTED JOIN —
+targets and queries are concatenated, sorted by (key, tie-flag), and the
+match is recovered with a reverse running min — so the hot paths are
+O((P+C) log) sort passes instead of serialized gathers. Scatters are used
+only where the write set is disjoint by construction.
+
+All stages use int32 indices (n, sn < 2^31 — the reference's own caps,
+CMS-BWT-functions.cpp:246, CMS-BWT.h:44-46).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+INT_MAX = np.int32(2**31 - 1)
+I64_BIG = np.int64(1) << 62
+
+
+def _rev_fill_min(vals):
+    """Nearest at-or-after fill: running min from the right."""
+    return jax.lax.cummin(vals, axis=0, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# Stage 1: head fixup (ref :566-586) + per-position tail counts (ref :368-377)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("h_pad",))
+def fixup_dev(t, pos, ln, h, ref_isa, h_pad: int):
+    """to_next / isa_next / succ per head. ``ends`` is globally
+    non-decreasing (the MS sliding property), so the covering-phrase search
+    (ref :566-571) is an upper_bound = end-of-equal-run, gather-free."""
+    idx = jnp.arange(h_pad, dtype=jnp.int32)
+    valid = idx < h
+    ends = jnp.where(valid, t + ln, INT_MAX)
+    pseudo = valid & (ln == 0)
+    barrier = _rev_fill_min(jnp.where(pseudo, idx, jnp.int32(h_pad)))
+    is_run_end = jnp.concatenate(
+        [ends[1:] != ends[:-1], jnp.ones(1, dtype=bool)])
+    run_end = _rev_fill_min(jnp.where(is_run_end, idx, jnp.int32(h_pad)))
+    j = jnp.minimum(run_end + 1, barrier)
+    j = jnp.where(pseudo, idx, j)
+    t_nxt = jnp.concatenate([t[1:], t[-1:]])
+    to_next = jnp.where(valid & (ln > 0), t_nxt - t - 1, 0)
+    jc = jnp.clip(j, 0, h_pad - 1)
+    img = pos[jc] + (ends - t[jc])
+    isa_next = jnp.where(
+        valid, ref_isa[jnp.clip(img, 0, ref_isa.shape[0] - 1)], 0)
+    return to_next, isa_next, j
+
+
+@functools.partial(jax.jit, static_argnames=("h_pad", "n_pad"))
+def tail_counts_dev(pos, to_next, h, h_pad: int, n_pad: int):
+    """tails per reference text position, from head spans (difference
+    array; the write sets of the two scatters are per-head disjoint)."""
+    idx = jnp.arange(h_pad, dtype=jnp.int32)
+    valid = (idx < h) & (to_next > 0)
+    hp = pos + 1
+    dump = jnp.int32(n_pad + 1)
+    diff = jnp.zeros(n_pad + 2, jnp.int32)
+    diff = diff.at[jnp.where(valid, hp, dump)].add(1, mode="drop")
+    diff = diff.at[jnp.where(valid, hp + to_next, dump)].add(-1, mode="drop")
+    return jnp.cumsum(diff[:n_pad])
+
+
+# ---------------------------------------------------------------------------
+# Stage 2: class grouping (ref :594-603, match.h:27-33)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("h_pad",))
+def group_dev(pos, ln, smaller, to_next, isa_next, h, n, h_pad: int):
+    """Group heads into (pos, len, isaNext) classes; classes come out in
+    TEXT order (pos, K, isaNext) with members grouped per class in
+    insertion (idx) order, exactly like engine/heads.py."""
+    idx = jnp.arange(h_pad, dtype=jnp.int32)
+    valid = idx < h
+    with jax.enable_x64(True):
+        scale = (n + 1).astype(jnp.int64)
+        pk_li = ln.astype(jnp.int64) * scale + isa_next.astype(jnp.int64)
+        key1 = jnp.where(valid, pos, INT_MAX)
+        pk_li = jnp.where(valid, pk_li, I64_BIG)
+        # carry len/isa through the sorts (integer division to unpack them
+        # later costs seconds on the VPU at tens of millions of lanes)
+        p_s, li_s, order, ln_s, isa_s = jax.lax.sort(
+            (key1, pk_li, idx, ln, isa_next), num_keys=2)
+        new_grp = jnp.concatenate(
+            [jnp.ones(1, dtype=bool),
+             (p_s[1:] != p_s[:-1]) | (li_s[1:] != li_s[:-1])])
+        valid_s = jnp.arange(h_pad) < h  # sorted: valid entries first
+        firsts = new_grp & valid_s
+        n_classes = jnp.sum(firsts.astype(jnp.int32))
+        gid = jnp.cumsum(firsts.astype(jnp.int32)) - 1  # class id, sorted ord
+        # compact class firsts: (first?, sorted position, pos, len, isa, head)
+        ckey = jnp.where(firsts, idx, INT_MAX)
+        _, fi, cls_pos, cls_len, cls_isa, first_head = jax.lax.sort(
+            (ckey, idx, p_s, ln_s, isa_s, order), num_keys=1)
+    cvalid = jnp.arange(h_pad, dtype=jnp.int32) < n_classes
+    fh = jnp.clip(first_head, 0, h_pad - 1)
+    cls_smaller = jnp.where(cvalid, smaller[fh], False)
+    cls_until = jnp.where(cvalid, to_next[fh], 0)
+    fi_nxt = jnp.concatenate([fi[1:], fi[-1:]])
+    cls_size = jnp.where(
+        cvalid,
+        jnp.where(jnp.arange(h_pad, dtype=jnp.int32) + 1 < n_classes,
+                  fi_nxt, h) - fi, 0)
+    key_k = jnp.where(cls_smaller, cls_len, 2 * n - cls_len)
+    key_k = jnp.where(cvalid, key_k, INT_MAX)
+
+    # text order: (pos, K, isaNext)
+    with jax.enable_x64(True):
+        pk_ki = jnp.where(cvalid,
+                          key_k.astype(jnp.int64) * (n + 1).astype(jnp.int64)
+                          + cls_isa.astype(jnp.int64), I64_BIG)
+        cpos_key = jnp.where(cvalid, cls_pos, INT_MAX)
+        cidx = jnp.arange(h_pad, dtype=jnp.int32)
+        (tpos, tki, torder, tlen, tisa, tsml, tuntil, tsize,
+         tkk) = jax.lax.sort(
+            (cpos_key, pk_ki, cidx, cls_len, cls_isa,
+             cls_smaller.astype(jnp.int32), cls_until, cls_size, key_k),
+            num_keys=2)
+    # rank of each (grouped-order) class in text order
+    _, text_rank = jax.lax.sort((torder, cidx), num_keys=1)
+    # members regrouped by text-ordered class (stable keeps idx order)
+    mkey = jnp.where(valid_s, text_rank[jnp.clip(gid, 0, h_pad - 1)],
+                     INT_MAX)
+    _, member_head = jax.lax.sort((mkey, order), num_keys=1)
+    member_off = jnp.cumsum(tsize) - tsize  # exclusive prefix
+
+    return dict(n_classes=n_classes, pos=tpos, length=tlen, isa_next=tisa,
+                smaller=tsml != 0, until_next=tuntil, size=tsize,
+                key_k=tkk, member_head=member_head, member_off=member_off,
+                gid_sorted=gid, order_sorted=order, text_rank=text_rank)
+
+
+# ---------------------------------------------------------------------------
+# Stage 3: ranking (ref :627-695)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("h_pad",))
+def class_ranks_dev(cls, ref_isa, h, d, n, h_pad: int):
+    """rankToHead (text order over head idx, terminator 0 appended) + the
+    SA-walk class order. Pseudo class (pos=n-1, ISA 0) members get ranks
+    1..D-1 in idx order; class at sa-walk position c>=1 gets rank D+c-1...
+    matching assign_class_ranks: rank_value[sa_ord] = arange + d, pseudo
+    members 1..D-1."""
+    cidx = jnp.arange(h_pad, dtype=jnp.int32)
+    cvalid = cidx < cls["n_classes"]
+    isa_pos = jnp.where(cvalid,
+                        ref_isa[jnp.clip(cls["pos"], 0,
+                                         ref_isa.shape[0] - 1)], INT_MAX)
+    with jax.enable_x64(True):
+        pk = jnp.where(cvalid,
+                       cls["key_k"].astype(jnp.int64)
+                       * (n + 1).astype(jnp.int64)
+                       + cls["isa_next"].astype(jnp.int64), I64_BIG)
+        _, _, sa_ord = jax.lax.sort((isa_pos, pk, cidx), num_keys=2)
+    # rank_value per text-order class id
+    rank_value = jnp.zeros(h_pad, jnp.int32).at[
+        jnp.clip(sa_ord, 0, h_pad - 1)].set(
+        jnp.where(cvalid, cidx + d, 0), mode="drop")
+    pseudo_cls = sa_ord[0]
+    # per-member rank: members are grouped by text-order class
+    midx = jnp.arange(h_pad, dtype=jnp.int32)
+    mvalid = midx < h
+    # class of each member slot: fill from member_off boundaries
+    starts = jnp.zeros(h_pad, jnp.int32).at[
+        jnp.clip(cls["member_off"], 0, h_pad - 1)].max(
+        jnp.where(cvalid & (cls["size"] > 0), cidx + 1, 0), mode="drop")
+    cls_of_slot = jax.lax.cummax(starts) - 1
+    within = midx - cls["member_off"][jnp.clip(cls_of_slot, 0, h_pad - 1)]
+    is_pseudo = cls_of_slot == pseudo_cls
+    mrank = jnp.where(is_pseudo, 1 + within,
+                      rank_value[jnp.clip(cls_of_slot, 0, h_pad - 1)])
+    mrank = jnp.where(mvalid, mrank, 0)
+    # scatter to head-idx order: rank_to_head[member_head] = mrank
+    rank_to_head = jnp.zeros(h_pad + 1, jnp.int32).at[
+        jnp.where(mvalid, cls["member_head"], h_pad)].set(
+        mrank, mode="drop")
+    rank_to_head = rank_to_head.at[h].set(0)
+    return rank_to_head, sa_ord, cls_of_slot
+
+
+@functools.partial(jax.jit, static_argnames=("h_pad",))
+def head_string_sa_dev(rank_to_head, h, h_pad: int):
+    """Suffix sort of the head rank string (replaces libsais_int, ref :648).
+
+    The [0, h] prefix is the real string (terminator 0 at h); positions
+    beyond get distinct ascending values above every rank so their suffixes
+    resolve immediately and cluster at the top of the SA."""
+    from ..index.device import suffix_array_device
+    L = h_pad + 1
+    idx = jnp.arange(L, dtype=jnp.int32)
+    BIG = jnp.int32(1) << 30
+    s = jnp.where(idx <= h, rank_to_head, BIG + idx)
+    sa, _, _, _ = suffix_array_device(s, L)
+    # compact the real suffixes (sa <= h), preserving order
+    key = jnp.where(sa <= h, idx, INT_MAX)
+    _, head_to_rank = jax.lax.sort((key, sa), num_keys=1)
+    return head_to_rank  # first h+1 entries are the real SA
+
+
+@functools.partial(jax.jit, static_argnames=("h_pad",))
+def rank_heads_dev(cls, head_to_rank, char, succ, h, h_pad: int):
+    """final ranks, head BWT, successor re-rank, slot layout
+    (ref :661-687 + prefixSumForPositions :697-707)."""
+    idx = jnp.arange(h_pad, dtype=jnp.int32)
+    valid = idx < h
+    sa_body = head_to_rank[1:]  # length h_pad; first h valid
+    # final_rank[sa_body[r]] = r
+    final_rank = jnp.zeros(h_pad, jnp.int32).at[
+        jnp.where(valid, sa_body, h_pad)].set(idx, mode="drop")
+    bwt_heads = char[jnp.clip(sa_body, 0, h_pad - 1)]
+    succ_rank = final_rank[jnp.clip(succ, 0, h_pad - 1)]
+    # member ranks aligned with the text-order slot layout, sorted per class
+    member_rank = succ_rank[jnp.clip(cls["member_head"], 0, h_pad - 1)]
+    cls_of_slot = cls["cls_of_slot"]
+    with jax.enable_x64(True):
+        pk = jnp.where(valid,
+                       cls_of_slot.astype(jnp.int64) * (h_pad + 2)
+                       + member_rank.astype(jnp.int64), I64_BIG)
+        _, member_rank_sorted = jax.lax.sort((pk, member_rank), num_keys=1)
+    return final_rank, bwt_heads, succ_rank, member_rank_sorted
+
+
+# ---------------------------------------------------------------------------
+# Stage 4: tail positioning (ref :1517-1603) as sorted joins
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("h_pad",))
+def tail_pairs_count_dev(cls, h_pad: int):
+    """Buckets (distinct head positions) + per-class interesting-bucket
+    ranges; returns the pair total for host-side padding."""
+    cidx = jnp.arange(h_pad, dtype=jnp.int32)
+    cvalid = cidx < cls["n_classes"]
+    pos = cls["pos"]
+    new_b = jnp.concatenate([jnp.ones(1, dtype=bool),
+                             pos[1:] != pos[:-1]]) & cvalid
+    n_buckets = jnp.sum(new_b.astype(jnp.int32))
+    bid = jnp.cumsum(new_b.astype(jnp.int32)) - 1  # bucket of class (text ord)
+    # compact bucket positions + class ranges
+    bkey = jnp.where(new_b, cidx, INT_MAX)
+    _, bucket_pos, cls_lo = jax.lax.sort((bkey, pos, cidx), num_keys=1)
+    bvalid = cidx < n_buckets
+    cls_hi = jnp.where(
+        bvalid,
+        jnp.where(cidx + 1 < n_buckets,
+                  jnp.concatenate([cls_lo[1:], cls_lo[-1:]]),
+                  cls["n_classes"]), 0)
+    # per class: range of buckets intersecting [pos+1, pos+until] via a
+    # sorted join (bucket_pos is sorted; queries are class endpoints)
+    lo = _join_lower_bound(jnp.where(bvalid, bucket_pos, INT_MAX), n_buckets,
+                           jnp.where(cvalid, pos + 1, INT_MAX), h_pad)
+    hi = _join_lower_bound(jnp.where(bvalid, bucket_pos, INT_MAX), n_buckets,
+                           jnp.where(cvalid, pos + cls["until_next"] + 1,
+                                     INT_MAX), h_pad)
+    cnt = jnp.where(cvalid, jnp.maximum(hi - lo, 0), 0)
+    with jax.enable_x64(True):
+        total = jnp.sum(cnt.astype(jnp.int64))
+    return dict(bucket_pos=bucket_pos, n_buckets=n_buckets, cls_lo=cls_lo,
+                cls_hi=cls_hi, bucket_of_class=bid, pair_lo=lo,
+                pair_cnt=cnt, total=total)
+
+
+def _join_lower_bound(sorted_vals, n_valid, queries, q_pad):
+    """index of first sorted_vals[j] >= queries[i] (values INT_MAX-padded).
+
+    One concat sort + reverse fill; ties resolve to the first equal target
+    because queries sort before equal targets (flag key)."""
+    nv = sorted_vals.shape[0]
+    vals = jnp.concatenate([sorted_vals, queries])
+    flag = jnp.concatenate([jnp.ones(nv, jnp.int32),
+                            jnp.zeros(q_pad, jnp.int32)])
+    srcidx = jnp.concatenate([jnp.arange(nv, dtype=jnp.int32),
+                              jnp.arange(q_pad, dtype=jnp.int32)])
+    v_s, f_s, i_s = jax.lax.sort((vals, flag, srcidx), num_keys=2)
+    tgt = _rev_fill_min(jnp.where(f_s == 1, i_s, jnp.int32(nv)))
+    # route answers back to query slots
+    qkey = jnp.where(f_s == 0, i_s, INT_MAX)
+    _, ans = jax.lax.sort((qkey, jnp.minimum(tgt, n_valid)), num_keys=1)
+    return ans[:q_pad]
+
+
+@functools.partial(jax.jit, static_argnames=("h_pad", "p_pad"))
+def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
+    """Expand (class, bucket) pairs, lower_bound each query key in its
+    bucket via one global sorted join, and credit the good path. Returns
+    (counter partial, exact-pair info) — the exact path runs separately."""
+    cidx = jnp.arange(h_pad, dtype=jnp.int32)
+    cvalid = cidx < cls["n_classes"]
+    cnt = pairs["pair_cnt"]
+    off = jnp.cumsum(cnt) - cnt  # exclusive
+    pidx = jnp.arange(p_pad, dtype=jnp.int32)
+    total = pairs["total"].astype(jnp.int32)
+    pvalid = pidx < total
+    # segment-expand src class + base offset via scatter + cummax
+    starts = jnp.zeros(p_pad, jnp.int32).at[
+        jnp.where(cvalid & (cnt > 0), off, p_pad)].max(
+        cidx + 1, mode="drop")
+    src_cls = jax.lax.cummax(starts) - 1
+    src_cls = jnp.clip(src_cls, 0, h_pad - 1)
+    within = pidx - off[src_cls]
+    b_idx = pairs["pair_lo"][src_cls] + within
+    b = pairs["bucket_pos"][jnp.clip(b_idx, 0, h_pad - 1)]
+    k = b - cls["pos"][src_cls] - 1
+    q_len = cls["length"][src_cls] - 1 - k
+    q_small = cls["smaller"][src_cls]
+    q_isa = cls["isa_next"][src_cls]
+    q_k = jnp.where(q_small, q_len, 2 * n - q_len)
+    # global join: targets = classes (pos, K*(n+1)+isa), queries = (b, qk..)
+    with jax.enable_x64(True):
+        scale = (n + 1).astype(jnp.int64)
+        t_k2 = jnp.where(cvalid,
+                         cls["key_k"].astype(jnp.int64) * scale
+                         + cls["isa_next"].astype(jnp.int64), I64_BIG)
+        q_k2 = jnp.where(pvalid,
+                         q_k.astype(jnp.int64) * scale
+                         + q_isa.astype(jnp.int64), I64_BIG)
+        key1 = jnp.concatenate([jnp.where(cvalid, cls["pos"], INT_MAX),
+                                jnp.where(pvalid, b, INT_MAX)])
+        key2 = jnp.concatenate([t_k2, q_k2])
+        flag = jnp.concatenate([jnp.ones(h_pad, jnp.int32),
+                                jnp.zeros(p_pad, jnp.int32)])
+        srcidx = jnp.concatenate([cidx, pidx])
+        k1s, k2s, f_s, i_s = jax.lax.sort((key1, key2, flag, srcidx),
+                                          num_keys=3)
+    tgt = _rev_fill_min(jnp.where(f_s == 1, i_s, jnp.int32(h_pad)))
+    tgt = jnp.clip(tgt, 0, h_pad - 1)
+    qkey = jnp.where(f_s == 0, i_s, INT_MAX)
+    _, found = jax.lax.sort((qkey, tgt), num_keys=1)
+    found = found[:p_pad]
+    # in-bucket: the found class must live at the query's bucket position
+    in_range = pvalid & (cls["pos"][found] == b) & \
+        (found < cls["n_classes"])
+    with jax.enable_x64(True):
+        t_k2f = cls["key_k"][found].astype(jnp.int64) * (n + 1).astype(
+            jnp.int64) + cls["isa_next"][found].astype(jnp.int64)
+        exact = in_range & (t_k2f == (q_k.astype(jnp.int64)
+                                      * (n + 1).astype(jnp.int64)
+                                      + q_isa.astype(jnp.int64)))
+    good = in_range & ~exact
+    counter = jnp.zeros(h_pad + 2, jnp.int32).at[
+        jnp.where(good, slot_base[found], h_pad + 1)].add(
+        cls["size"][src_cls], mode="drop")
+    n_exact = jnp.sum(exact.astype(jnp.int32))
+    with jax.enable_x64(True):
+        exact_members = jnp.sum(jnp.where(exact, cls["size"][src_cls], 0)
+                                .astype(jnp.int64))
+    # compact exact pairs: (src class, found class, bucket idx)
+    ekey = jnp.where(exact, pidx, INT_MAX)
+    _, e_src, e_fnd, e_bidx = jax.lax.sort(
+        (ekey, src_cls, found, jnp.clip(b_idx, 0, h_pad - 1)), num_keys=1)
+    return counter, n_exact, exact_members, e_src, e_fnd, e_bidx
+
+
+@functools.partial(jax.jit, static_argnames=("h_pad", "e_pad", "em_pad"))
+def tail_exact_dev(cls, pairs, slot_base, member_rank_sorted, cls_of_slot,
+                   e_src, e_fnd, e_bidx, n_exact, h,
+                   h_pad: int, e_pad: int, em_pad: int):
+    """Exact-key (counterBad) path: member-wise sorted-list merge
+    (ref :1567-1589) as one upper_bound join over the global slot array."""
+    eidx = jnp.arange(e_pad, dtype=jnp.int32)
+    evalid = eidx < n_exact
+    e_src = e_src[:e_pad]
+    e_fnd = e_fnd[:e_pad]
+    e_bidx = e_bidx[:e_pad]
+    msz = jnp.where(evalid, cls["size"][e_src], 0)
+    off = jnp.cumsum(msz) - msz
+    midx = jnp.arange(em_pad, dtype=jnp.int32)
+    with jax.enable_x64(True):
+        tot = jnp.sum(msz.astype(jnp.int64)).astype(jnp.int32)
+    mvalid = midx < tot
+    starts = jnp.zeros(em_pad, jnp.int32).at[
+        jnp.where(evalid & (msz > 0), off, em_pad)].max(
+        eidx + 1, mode="drop")
+    pair_of = jnp.clip(jax.lax.cummax(starts) - 1, 0, e_pad - 1)
+    within = midx - off[pair_of]
+    src = e_src[pair_of]
+    dst = e_fnd[pair_of]
+    q = member_rank_sorted[jnp.clip(slot_base[src] + within, 0, h_pad - 1)]
+    # upper_bound join: targets = (class-of-slot, member_rank_sorted, slot),
+    # queries = (dst, q); equal targets sort BEFORE the query (flag) so the
+    # fill lands on the first rank STRICTLY greater (upper bound)
+    hvalid = jnp.arange(h_pad, dtype=jnp.int32) < h
+    with jax.enable_x64(True):
+        W = (h_pad + 2)
+        tkey = jnp.where(hvalid,
+                         cls_of_slot.astype(jnp.int64) * W * 4
+                         + member_rank_sorted.astype(jnp.int64) * 4 + 1,
+                         I64_BIG)
+        qkey = jnp.where(mvalid,
+                         dst.astype(jnp.int64) * W * 4
+                         + q.astype(jnp.int64) * 4 + 2, I64_BIG)
+        keys = jnp.concatenate([tkey, qkey])
+        srcidx = jnp.concatenate([jnp.arange(h_pad, dtype=jnp.int32),
+                                  midx])
+        flag = jnp.concatenate([jnp.ones(h_pad, jnp.int32),
+                                jnp.zeros(em_pad, jnp.int32)])
+        k_s, f_s, i_s = jax.lax.sort((keys, flag, srcidx), num_keys=2)
+    tgt = _rev_fill_min(jnp.where(f_s == 1, i_s, jnp.int32(h_pad)))
+    qk2 = jnp.where(f_s == 0, i_s, INT_MAX)
+    _, p_slot = jax.lax.sort((qk2, jnp.clip(tgt, 0, h_pad - 1)), num_keys=1)
+    p_slot = p_slot[:em_pad]
+    inb = mvalid & (cls_of_slot[p_slot] == dst) & \
+        (tgt[0] * 0 + 1 > 0)  # keep shape
+    # a found slot outside the dst class means the walk ran off the list
+    counter = jnp.zeros(h_pad + 2, jnp.int32).at[
+        jnp.where(inb, p_slot, h_pad + 1)].add(1, mode="drop")
+    # spill: next class's base slot, only if it exists in the same bucket
+    has_next = (dst + 1) < pairs["cls_hi"][
+        jnp.clip(pairs["bucket_of_class"][dst], 0, h_pad - 1)]
+    spill_ok = mvalid & ~inb & has_next
+    counter = counter.at[
+        jnp.where(spill_ok, slot_base[jnp.clip(dst + 1, 0, h_pad - 1)],
+                  h_pad + 1)].add(1, mode="drop")
+    return counter
+
+
+# ---------------------------------------------------------------------------
+# Stage 5: run assembly (ref :939-1085 / :1630-1777)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("h_pad", "n_pad", "rle_quirk"))
+def runs_count_dev(cls, sa_ord, ref_isa, d, n, h_pad: int, n_pad: int,
+                   rle_quirk: bool):
+    """Total run-slot count + per-rank offsets (host fetches the total)."""
+    cidx = jnp.arange(h_pad, dtype=jnp.int32)
+    nec = cls["n_classes"] - 1
+    evalid = cidx < nec
+    ecls = jnp.clip(sa_ord[1:], 0, h_pad - 1)  # drop pseudo  [h_pad-1]
+    ecls = jnp.concatenate([ecls, jnp.zeros(1, jnp.int32)])
+    m_c = jnp.where(evalid, cls["size"][ecls], 0)
+    bucket_rank = jnp.where(
+        evalid, ref_isa[jnp.clip(cls["pos"][ecls], 0, n_pad - 1)], INT_MAX)
+    new_b = jnp.concatenate([jnp.ones(1, dtype=bool),
+                             bucket_rank[1:] != bucket_rank[:-1]]) & evalid
+    bid = jnp.cumsum(new_b.astype(jnp.int32)) - 1
+    # per-rank run counts: 1 per simple rank; mixed = 2*hb + (ncls | 1)
+    hb_at = jnp.zeros(n_pad, jnp.int32).at[
+        jnp.where(evalid, bucket_rank, 0)].add(m_c, mode="drop")
+    ncls_at = jnp.zeros(n_pad, jnp.int32).at[
+        jnp.where(evalid, bucket_rank, 0)].add(1, mode="drop")
+    extra = 2 * hb_at + (ncls_at if rle_quirk
+                         else jnp.minimum(ncls_at, 1)) - \
+        jnp.minimum(ncls_at, 1)
+    # runs_per_rank = 1 + extra  (for ranks in [1, n))
+    ridx = jnp.arange(n_pad, dtype=jnp.int32)
+    with jax.enable_x64(True):
+        total = (d - 1).astype(jnp.int64) + \
+            jnp.sum(jnp.where((ridx >= 1) & (ridx < n), 1 + extra, 0)
+                    .astype(jnp.int64))
+    return total, extra, m_c, bucket_rank, new_b, bid, ecls
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("h_pad", "n_pad", "r_pad", "rle_quirk"))
+def runs_fill_dev(cls, slot_base, counter, tails_cnt, bwt_heads,
+                  ref_sa, ref_isa, ref_bwt, extra, m_c, bucket_rank, new_b,
+                  bid, ecls, d, n, h, h_pad: int, n_pad: int, r_pad: int,
+                  rle_quirk: bool):
+    """Fill (run_len, run_char) exactly like engine/merge.py:build_runs.
+
+    64-bit run offsets (run totals can exceed 2^31 before chars do).
+    """
+    with jax.enable_x64(True):
+        cidx = jnp.arange(h_pad, dtype=jnp.int32)
+        nec = cls["n_classes"] - 1
+        evalid = cidx < nec
+        ridx = jnp.arange(n_pad, dtype=jnp.int32)
+        rank_valid = (ridx >= 1) & (ridx < n)
+        runs_per_rank = jnp.where(rank_valid, 1 + extra, 0)
+        offsets = (jnp.cumsum(runs_per_rank.astype(jnp.int64))
+                   - runs_per_rank).astype(jnp.int64) + (d - 1)
+
+        run_len = jnp.zeros(r_pad, jnp.int32)
+        run_char = jnp.zeros(r_pad, jnp.uint8)
+        out_i = jnp.arange(r_pad, dtype=jnp.int32)
+        # prelude (ref :946): BWTheads[0..D-2]
+        run_len = jnp.where(out_i < d - 1, 1, run_len)
+        run_char = jnp.where(out_i < d - 1,
+                             bwt_heads[jnp.clip(out_i, 0, h_pad - 1)], run_char)
+        # simple buckets: one tails run each
+        simple = rank_valid & (extra == 0)
+        sa_r = jnp.clip(ref_sa, 0, n_pad - 1)
+        dump = jnp.int64(r_pad)
+        run_len = run_len.at[jnp.where(simple, offsets, dump)].set(
+            tails_cnt[sa_r], mode="drop")
+        run_char = run_char.at[jnp.where(simple, offsets, dump)].set(
+            ref_bwt, mode="drop")
+
+        # class-level: start offset of each emission class inside its bucket
+        b_char = ref_bwt[jnp.clip(bucket_rank, 0, n_pad - 1)]
+        first_of_b = jnp.zeros(h_pad, jnp.int32).at[
+            jnp.where(new_b, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].set(
+            cidx, mode="drop")
+        k_c = cidx - first_of_b[jnp.clip(bid, 0, h_pad - 1)]
+        ex_mc = jnp.cumsum(m_c) - m_c
+        mc_first = jnp.zeros(h_pad, jnp.int64).at[
+            jnp.where(new_b, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].set(
+            ex_mc.astype(jnp.int64), mode="drop")
+        mc_before = ex_mc.astype(jnp.int64) - mc_first[
+            jnp.clip(bid, 0, h_pad - 1)]
+        cls_start = offsets[jnp.clip(bucket_rank, 0, n_pad - 1)] + \
+            2 * mc_before + (k_c.astype(jnp.int64) if rle_quirk else 0)
+
+        # slot-level: strided cumsum expansion (merge.py numpy fallback, on
+        # device). tot slots = h - (d - 1) pseudo... = sum(m_c)
+        midx = jnp.arange(h_pad, dtype=jnp.int32)
+        tot_slots = jnp.sum(m_c)
+        mvalid = midx < tot_slots
+        # slot_text[s] = base_c[c] + (s - ex_mc[c]); ridx_tail = cls_start + 2*..
+        base_c = slot_base[ecls]
+        cstart = jnp.zeros(h_pad, jnp.int32).at[
+            jnp.where(evalid & (m_c > 0), ex_mc, h_pad)].max(
+            cidx + 1, mode="drop")
+        cls_of = jnp.clip(jax.lax.cummax(cstart) - 1, 0, h_pad - 1)
+        within = midx - ex_mc[cls_of]
+        slot_text = jnp.clip(base_c[cls_of] + within, 0, h_pad - 1)
+        rt = cls_start[cls_of] + 2 * within.astype(jnp.int64)
+        cnt_slot = counter[slot_text]
+        run_len = run_len.at[jnp.where(mvalid, rt, dump)].set(
+            cnt_slot, mode="drop")
+        run_char = run_char.at[jnp.where(mvalid, rt, dump)].set(
+            b_char[cls_of], mode="drop")
+        run_len = run_len.at[jnp.where(mvalid, rt + 1, dump)].set(
+            1, mode="drop")
+        run_char = run_char.at[jnp.where(mvalid, rt + 1, dump)].set(
+            bwt_heads[jnp.clip(d - 1 + midx, 0, h_pad - 1)], mode="drop")
+
+        # residuals: per-class cumulative emitted (counter sums + heads)
+        ccnt = jnp.cumsum(jnp.where(mvalid, cnt_slot, 0).astype(jnp.int64))
+        csum_hi = ccnt[jnp.clip(ex_mc + m_c - 1, 0, h_pad - 1)]
+        csum_lo = jnp.where(ex_mc > 0,
+                            ccnt[jnp.clip(ex_mc - 1, 0, h_pad - 1)], 0)
+        csum_c = jnp.where(evalid & (m_c > 0), csum_hi - csum_lo, 0)
+        inc = csum_c + m_c.astype(jnp.int64)
+        cum_inc = jnp.cumsum(inc)
+        cum_exc_first = jnp.zeros(h_pad, jnp.int64).at[
+            jnp.where(new_b, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].set(
+            cum_inc - inc, mode="drop")
+        cum_inc_b = cum_inc - cum_exc_first[jnp.clip(bid, 0, h_pad - 1)]
+        hb_b = jnp.zeros(h_pad, jnp.int64).at[
+            jnp.where(evalid, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].add(
+            m_c.astype(jnp.int64), mode="drop")
+        b_total = hb_b[jnp.clip(bid, 0, h_pad - 1)] + tails_cnt[
+            jnp.clip(ref_sa[jnp.clip(bucket_rank, 0, n_pad - 1)], 0, n_pad - 1)
+        ].astype(jnp.int64)
+        if rle_quirk:
+            rem = b_total - cum_inc_b
+            rr = cls_start + 2 * m_c.astype(jnp.int64)
+            run_len = run_len.at[jnp.where(evalid, rr, dump)].set(
+                rem.astype(jnp.int32), mode="drop")
+            run_char = run_char.at[jnp.where(evalid, rr, dump)].set(
+                b_char, mode="drop")
+        else:
+            # new_b is masked False beyond the valid classes, so the shifted
+            # flag misses the final class — or it in explicitly
+            is_last_of_b = jnp.concatenate(
+                [new_b[1:], jnp.ones(1, dtype=bool)]) | (cidx + 1 == nec)
+            last = evalid & is_last_of_b
+            rem_b = b_total - cum_inc_b
+            hb_c = hb_b[jnp.clip(bid, 0, h_pad - 1)]
+            rr = offsets[jnp.clip(bucket_rank, 0, n_pad - 1)] + 2 * hb_c
+            run_len = run_len.at[jnp.where(last, rr, dump)].set(
+                rem_b.astype(jnp.int32), mode="drop")
+            run_char = run_char.at[jnp.where(last, rr, dump)].set(
+                b_char, mode="drop")
+    return run_len, run_char
+
+
+# ---------------------------------------------------------------------------
+# Orchestrator
+# ---------------------------------------------------------------------------
+
+def _pow2_pad(x: int, cap: int) -> int:
+    p = 1 << max(4, int(np.ceil(np.log2(max(x, 1)))))
+    return min(p, cap) if cap else p
+
+
+def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
+                 ref_sa, ref_isa, ref_bwt, h: int, n: int, sn: int, d: int,
+                 rle_quirk: bool):
+    """Full downstream merge on device; returns (run_len, run_char) numpy.
+
+    Inputs are device arrays: heads padded to h_pad (valid prefix h, stream
+    order), reference index padded to n_pad.
+    """
+    h_pad = int(head_t.shape[0])
+    n_pad = int(ref_sa.shape[0])
+    d_t = jnp.int32(d)
+    n_t = jnp.int32(n)
+    h_t = jnp.int32(h)
+
+    to_next, isa_next, succ = fixup_dev(head_t, head_pos, head_len, h_t,
+                                        ref_isa, h_pad)
+    tails_cnt = tail_counts_dev(head_pos, to_next, h_t, h_pad, n_pad)
+    cls = group_dev(head_pos, head_len, head_smaller, to_next, isa_next,
+                    h_t, n_t, h_pad)
+    rank_to_head, sa_ord, cls_of_slot = class_ranks_dev(
+        cls, ref_isa, h_t, d_t, n_t, h_pad)
+    cls["cls_of_slot"] = cls_of_slot
+    head_to_rank = head_string_sa_dev(rank_to_head, h_t, h_pad)
+    final_rank, bwt_heads, succ_rank, member_rank_sorted = rank_heads_dev(
+        cls, head_to_rank, head_char, succ, h_t, h_pad)
+    slot_base = cls["member_off"]
+
+    pairs = tail_pairs_count_dev(cls, h_pad)
+    total_pairs = int(np.asarray(pairs["total"]))
+    p_pad = _pow2_pad(total_pairs + 1, 0)
+    counter, n_exact_d, exact_members_d, e_src, e_fnd, e_bidx = \
+        tail_good_dev(cls, pairs, slot_base, h_t, n_t, h_pad, p_pad)
+    n_exact = int(np.asarray(n_exact_d))
+    exact_members = int(np.asarray(exact_members_d))
+    if n_exact:
+        e_pad = _pow2_pad(n_exact, 0)
+        em_pad = _pow2_pad(exact_members, 0)
+        counter = counter + tail_exact_dev(
+            cls, pairs, slot_base, member_rank_sorted, cls_of_slot,
+            e_src, e_fnd, e_bidx, jnp.int32(n_exact), h_t,
+            h_pad, e_pad, em_pad)
+
+    total_d, extra, m_c, bucket_rank, new_b, bid, ecls = runs_count_dev(
+        cls, sa_ord, ref_isa, d_t, n_t, h_pad, n_pad, rle_quirk)
+    total_runs = int(np.asarray(total_d))
+    r_pad = _pow2_pad(total_runs + 1, 0)
+    run_len, run_char = runs_fill_dev(
+        cls, slot_base, counter[:h_pad], tails_cnt, bwt_heads,
+        ref_sa, ref_isa, ref_bwt, extra, m_c, bucket_rank, new_b, bid,
+        ecls, d_t, n_t, h_t, h_pad, n_pad, r_pad, rle_quirk)
+    rl = np.asarray(run_len)[:total_runs].astype(np.int64)
+    rc = np.asarray(run_char)[:total_runs]
+    return rl, rc
