@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
                         "this many chars (bounded memory)")
     p.add_argument("--parallel", action="store_true",
                    help="fan dense blocks out over all local devices")
+    p.add_argument("--merge-backend", choices=["auto", "host", "device"],
+                   default="auto",
+                   help="downstream merge engine (dense backend): host "
+                        "numpy/OpenMP or device sorted joins (default auto)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="phase-boundary checkpoint/resume directory")
     p.add_argument("--no-rle-quirk", action="store_true",
@@ -63,6 +67,7 @@ def main(argv=None) -> int:
         lanes=args.lanes,
         dense_block_chars=args.block_chars,
         dense_parallel=args.parallel,
+        merge_backend=args.merge_backend,
         checkpoint_dir=args.checkpoint_dir,
         replicate_reference_rle_quirk=not args.no_rle_quirk,
     )

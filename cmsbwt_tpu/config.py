@@ -50,6 +50,9 @@ class Config:
                                     # else stream the collection in blocks
     dense_parallel: bool = False    # fan blocks out over all local devices
     dense_ctx_chars: Optional[int] = None    # right-context per block
+    merge_backend: str = "auto"     # downstream merge engine: "host" (numpy
+                                    # + native OpenMP), "device" (sorted
+                                    # joins on the accelerator), "auto"
     checkpoint_dir: Optional[str] = None  # phase-boundary checkpoint/resume
     replicate_reference_rle_quirk: bool = True  # reproduce ref RLE residual quirk
                                     # (see merge.py; ref :1069-1078 vs :986-994)

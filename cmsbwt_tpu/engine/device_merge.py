@@ -646,4 +646,40 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
         ecls, d_t, n_t, h_t, h_pad, n_pad, r_pad, rle_quirk)
     rl = np.asarray(run_len)[:total_runs].astype(np.int64)
     rc = np.asarray(run_char)[:total_runs]
-    return rl, rc
+    # counterSmallerThanHead, slot-indexed (debug artifact parity,
+    # ref :919-924); host layout is int64[h+1]
+    counter_np = np.asarray(counter)[: h + 1].astype(np.int64)
+    return rl, rc, counter_np
+
+
+def merge_heads_numpy(head_t, head_pos, head_len, head_smaller, head_char,
+                      ref_sa, ref_isa, ref_bwt, h: int, n: int, sn: int,
+                      d: int, rle_quirk: bool):
+    """Pad + upload numpy head records / reference index and run the device
+    merge (the adapter the pipeline uses for DenseHeadsResult inputs).
+
+    Shapes are padded to the shared geometric buckets (utils/jaxcache) so
+    repeated runs and nearby sizes reuse compiled executables.
+    """
+    import jax.numpy as jnp
+
+    from ..utils.jaxcache import bucket_size, enable_compilation_cache
+    enable_compilation_cache()
+    h_pad = bucket_size(h + 1)
+    n_pad = bucket_size(n + 1)
+
+    def pad(a, size, dt, fill=0):
+        out = np.full(size, fill, dt)
+        out[: len(a)] = a
+        return jnp.asarray(out)
+
+    return merge_device(
+        pad(head_t, h_pad, np.int32),
+        pad(head_pos, h_pad, np.int32),
+        pad(head_len, h_pad, np.int32),
+        pad(head_smaller, h_pad, bool),
+        pad(head_char, h_pad, np.uint8),
+        pad(ref_sa, n_pad, np.int32),
+        pad(ref_isa, n_pad, np.int32),
+        pad(ref_bwt, n_pad, np.uint8),
+        h, n, sn, d, rle_quirk)

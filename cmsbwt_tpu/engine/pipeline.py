@@ -187,17 +187,38 @@ def compute_bwt(cfg: Config) -> dict:
                     "h": np.int64(dres.h), "sn": np.int64(dres.sn),
                     "irreducible": np.int64(dres.irreducible)})
         index, heads = dense_result_to_inputs(x_aug, dres)
-        result = merge_from_heads(index, heads, coll.d, coll.sn,
-                                  rle_quirk=cfg.rle and
-                                  cfg.replicate_reference_rle_quirk,
-                                  timer=timer,
-                                  buffer_bytes=cfg.buffer_gib << 30)
+        rq = cfg.rle and cfg.replicate_reference_rle_quirk
+        if _resolve_merge_backend(cfg.merge_backend) == "device":
+            result = merge_from_heads_device(x_aug, dres, coll.d, coll.sn,
+                                             rq, timer)
+        else:
+            result = merge_from_heads(index, heads, coll.d, coll.sn,
+                                      rle_quirk=rq, timer=timer,
+                                      buffer_bytes=cfg.buffer_gib << 30)
         return _write_outputs(cfg, outname, index, result, timer)
 
     rle_quirk = cfg.rle and cfg.replicate_reference_rle_quirk
     result = compute_bwt_arrays(index, coll, rle_quirk, ms=ms, timer=timer,
                                 buffer_bytes=cfg.buffer_gib << 30)
     return _write_outputs(cfg, outname, index, result, timer)
+
+
+def merge_from_heads_device(x_aug: np.ndarray, dres, d: int, sn: int,
+                            rle_quirk: bool,
+                            timer: PhaseTimer | None = None
+                            ) -> PipelineResult:
+    """Downstream merge on the accelerator (engine/device_merge.py): head
+    fixup, grouping, ranking, tail positioning, and run assembly run as
+    device sorted joins; only the O(n + H) run list reaches the host."""
+    from .device_merge import merge_heads_numpy
+    timer = timer or PhaseTimer()
+    with timer.phase("merge_device"):
+        run_len, run_char, counter = merge_heads_numpy(
+            dres.head_t, dres.head_pos, dres.head_len, dres.head_smaller,
+            dres.head_char, dres.ref_sa, dres.ref_isa, dres.ref_bwt,
+            dres.h, len(x_aug), sn, d, rle_quirk)
+    return PipelineResult(run_len=run_len, run_char=run_char, d=d, sn=sn,
+                          h=dres.h, counter=counter)
 
 
 def dense_result_to_inputs(x_aug: np.ndarray, dres):
@@ -261,6 +282,27 @@ def _write_outputs(cfg: Config, outname: str, index: ReferenceIndex,
 # pipeline even with a warm compile cache (dispatch/transfer overheads
 # dominate; measured crossover is around a few Mchars on v5e).
 AUTO_DENSE_MIN_CHARS = 2_000_000
+
+
+def _resolve_merge_backend(merge_backend: str) -> str:
+    """auto -> device merge on an accelerator, host merge otherwise.
+
+    The device merge keeps the downstream stages (fixup/group/rank/tails/
+    runs) on the chip as sorted joins; on CPU-only processes the native
+    OpenMP host engine wins (device sorts fall back to CPU XLA there)."""
+    if merge_backend != "auto":
+        return merge_backend
+    import os
+    forced = os.environ.get("CMSBWT_MERGE_BACKEND")
+    if forced in ("host", "device"):
+        return forced
+    try:
+        import jax
+        if any(dv.platform != "cpu" for dv in jax.devices()):
+            return "device"
+    except Exception:
+        pass
+    return "host"
 
 
 def _resolve_backend(backend: str, coll_chars: int | None = None) -> str:

@@ -50,7 +50,7 @@ def _host_runs(index, sx, rle_quirk):
     counter = tails_mod.position_tails(index, classes, ranked)
     run_len, run_char = merge_mod.build_runs(
         index, classes, ranked, counter, tails_cnt, d, rle_quirk)
-    return heads_h, d, run_len, run_char
+    return heads_h, d, run_len, run_char, counter
 
 
 def _device_runs(index, heads_h, sn, d, rle_quirk):
@@ -95,9 +95,11 @@ def test_device_merge_matches_host(seed, ref_len, n_docs, snp, dups,
                                    rle_quirk):
     x_aug, sx = _collection(seed, ref_len, n_docs, snp, dups)
     index = build_reference_index(x_aug)
-    heads_h, d, run_len_h, run_char_h = _host_runs(index, sx, rle_quirk)
-    run_len_d, run_char_d = _device_runs(index, heads_h, len(sx), d,
-                                         rle_quirk)
+    heads_h, d, run_len_h, run_char_h, counter_h = _host_runs(
+        index, sx, rle_quirk)
+    run_len_d, run_char_d, counter_d = _device_runs(
+        index, heads_h, len(sx), d, rle_quirk)
+    np.testing.assert_array_equal(counter_d, counter_h)
     assert len(run_len_d) == len(run_len_h)
     np.testing.assert_array_equal(run_len_d, run_len_h)
     np.testing.assert_array_equal(run_char_d, run_char_h)
@@ -106,3 +108,27 @@ def test_device_merge_matches_host(seed, ref_len, n_docs, snp, dups,
         merge_mod.runs_to_plain(run_len_h, run_char_h)
     assert merge_mod.runs_to_rle(run_len_d, run_char_d) == \
         merge_mod.runs_to_rle(run_len_h, run_char_h)
+
+
+def test_pipeline_merge_backend_device(tmp_path):
+    """compute_bwt with merge_backend=device byte-matches the host merge,
+    both formats, including the debug counter artifact."""
+    from helpers import make_inputs
+    rng = np.random.default_rng(7)
+    ref = random_dna(rng, 600)
+    docs = [mutate(rng, ref, 0.02) for _ in range(5)]
+    docs[1] = docs[0]  # duplicate doc: counterBad path
+    lst, _, _ = make_inputs(tmp_path, ref, docs)
+    from cmsbwt_tpu.config import Config
+    from cmsbwt_tpu.engine.pipeline import compute_bwt
+    for rle in (False, True):
+        compute_bwt(Config(filename=str(lst), outname=str(tmp_path / "h"),
+                           backend="dense", merge_backend="host", rle=rle))
+        compute_bwt(Config(filename=str(lst), outname=str(tmp_path / "d"),
+                           backend="dense", merge_backend="device", rle=rle))
+        ext = ".rl_bwt" if rle else ".bwt"
+        assert (tmp_path / ("h" + ext)).read_bytes() == \
+            (tmp_path / ("d" + ext)).read_bytes()
+        art = "h.counterSmallerThanHead_true"
+        assert (tmp_path / art).read_bytes() == \
+            (tmp_path / "d.counterSmallerThanHead_true").read_bytes()
