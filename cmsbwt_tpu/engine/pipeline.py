@@ -163,11 +163,21 @@ def compute_bwt(cfg: Config) -> dict:
                     h=int(cached.pop("h")), sn=int(cached.pop("sn")),
                     irreducible=int(cached.pop("irreducible")), **cached)
             elif block_chars and cfg.dense_parallel:
-                from ..parallel.blocked import ms_dense_heads_parallel
-                dres = ms_dense_heads_parallel(
-                    x_aug, coll.sx, block_chars=block_chars,
-                    ctx_chars=cfg.dense_ctx_chars,
-                    checkpoint_dir=cfg.checkpoint_dir, fingerprint=fp)
+                import jax
+                if len(jax.devices()) > 1:
+                    # mesh-native: one shard_map program per wave of blocks
+                    # (ppermute chain, psum health — parallel/mesh.py)
+                    from ..parallel.mesh import ms_dense_heads_mesh
+                    dres = ms_dense_heads_mesh(
+                        x_aug, coll.sx, block_chars=block_chars,
+                        ctx_chars=cfg.dense_ctx_chars)
+                else:
+                    # single device: bounded in-flight wave pipelining
+                    from ..parallel.blocked import ms_dense_heads_parallel
+                    dres = ms_dense_heads_parallel(
+                        x_aug, coll.sx, block_chars=block_chars,
+                        ctx_chars=cfg.dense_ctx_chars,
+                        checkpoint_dir=cfg.checkpoint_dir, fingerprint=fp)
             elif block_chars:
                 from ..ops.ms_dense import ms_dense_heads_blocked
                 dres = ms_dense_heads_blocked(
