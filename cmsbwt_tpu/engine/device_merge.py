@@ -602,6 +602,8 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
     Inputs are device arrays: heads padded to h_pad (valid prefix h, stream
     order), reference index padded to n_pad.
     """
+    from ..ops.ms_dense import _stage_timer
+    mark = _stage_timer()
     h_pad = int(head_t.shape[0])
     n_pad = int(ref_sa.shape[0])
     d_t = jnp.int32(d)
@@ -610,24 +612,30 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
 
     to_next, isa_next, succ = fixup_dev(head_t, head_pos, head_len, h_t,
                                         ref_isa, h_pad)
+    mark("fixup", to_next)
     tails_cnt = tail_counts_dev(head_pos, to_next, h_t, h_pad, n_pad)
     cls = group_dev(head_pos, head_len, head_smaller, to_next, isa_next,
                     h_t, n_t, h_pad)
+    mark("group", cls["member_off"])
     rank_to_head, sa_ord, cls_of_slot = class_ranks_dev(
         cls, ref_isa, h_t, d_t, n_t, h_pad)
     cls["cls_of_slot"] = cls_of_slot
     head_to_rank = head_string_sa_dev(rank_to_head, h_t, h_pad)
+    mark("head_string_sa", head_to_rank)
     final_rank, bwt_heads, succ_rank, member_rank_sorted = rank_heads_dev(
         cls, head_to_rank, head_char, succ, h_t, h_pad)
     slot_base = cls["member_off"]
+    mark("rank_heads", final_rank)
 
     pairs = tail_pairs_count_dev(cls, h_pad)
     total_pairs = int(np.asarray(pairs["total"]))
+    mark("tail_pairs_count(P=%d)" % total_pairs)
     p_pad = _pow2_pad(total_pairs + 1, 0)
     counter, n_exact_d, exact_members_d, e_src, e_fnd, e_bidx = \
         tail_good_dev(cls, pairs, slot_base, h_t, n_t, h_pad, p_pad)
     n_exact = int(np.asarray(n_exact_d))
     exact_members = int(np.asarray(exact_members_d))
+    mark("tail_good(exact=%d)" % n_exact, counter)
     if n_exact:
         e_pad = _pow2_pad(n_exact, 0)
         em_pad = _pow2_pad(exact_members, 0)
@@ -635,17 +643,21 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
             cls, pairs, slot_base, member_rank_sorted, cls_of_slot,
             e_src, e_fnd, e_bidx, jnp.int32(n_exact), h_t,
             h_pad, e_pad, em_pad)
+        mark("tail_exact", counter)
 
     total_d, extra, m_c, bucket_rank, new_b, bid, ecls = runs_count_dev(
         cls, sa_ord, ref_isa, d_t, n_t, h_pad, n_pad, rle_quirk)
     total_runs = int(np.asarray(total_d))
+    mark("runs_count(R=%d)" % total_runs)
     r_pad = _pow2_pad(total_runs + 1, 0)
     run_len, run_char = runs_fill_dev(
         cls, slot_base, counter[:h_pad], tails_cnt, bwt_heads,
         ref_sa, ref_isa, ref_bwt, extra, m_c, bucket_rank, new_b, bid,
         ecls, d_t, n_t, h_t, h_pad, n_pad, r_pad, rle_quirk)
+    mark("runs_fill", run_len)
     rl = np.asarray(run_len)[:total_runs].astype(np.int64)
     rc = np.asarray(run_char)[:total_runs]
+    mark("runs_download")
     # counterSmallerThanHead, slot-indexed (debug artifact parity,
     # ref :919-924); host layout is int64[h+1]
     counter_np = np.asarray(counter)[: h + 1].astype(np.int64)
@@ -673,7 +685,10 @@ def merge_heads_numpy(head_t, head_pos, head_len, head_smaller, head_char,
         out[: len(a)] = a
         return jnp.asarray(out)
 
-    return merge_device(
+    from ..ops.ms_dense import _stage_timer
+    mark = _stage_timer()
+    mark("merge_pad_upload_begin")
+    res = merge_device(
         pad(head_t, h_pad, np.int32),
         pad(head_pos, h_pad, np.int32),
         pad(head_len, h_pad, np.int32),
@@ -683,3 +698,4 @@ def merge_heads_numpy(head_t, head_pos, head_len, head_smaller, head_char,
         pad(ref_isa, n_pad, np.int32),
         pad(ref_bwt, n_pad, np.uint8),
         h, n, sn, d, rle_quirk)
+    return res
