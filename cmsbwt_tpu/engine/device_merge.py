@@ -664,6 +664,18 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
     return rl, rc, counter_np
 
 
+def merge_heads_device_resident(dres, d: int, rle_quirk: bool):
+    """Merge a DeviceHeadsResult (ops/ms_dense.ms_dense_heads_on_device)
+    without any host round-trip: the head records and reference index are
+    already device arrays in merge layout (zero pads)."""
+    from ..utils.jaxcache import enable_compilation_cache
+    enable_compilation_cache()
+    return merge_device(
+        dres.head_t, dres.head_pos, dres.head_len, dres.head_smaller,
+        dres.head_char, dres.ref_sa, dres.ref_isa, dres.ref_bwt,
+        dres.h, dres.n, dres.sn, d, rle_quirk)
+
+
 def merge_heads_numpy(head_t, head_pos, head_len, head_smaller, head_char,
                       ref_sa, ref_isa, ref_bwt, h: int, n: int, sn: int,
                       d: int, rle_quirk: bool):

@@ -156,6 +156,31 @@ def compute_bwt(cfg: Config) -> dict:
             ndev = max(1, len(jax.local_devices()))
             block_chars = max(min(-(-coll.sn // ndev),
                                   cfg.chunk_cap_bytes // 8), 1 << 16)
+        # device-resident fast path: scan result stays on the chip and feeds
+        # the device merge directly — nothing O(n + H) crosses the host link
+        # (checkpointing and blocked modes need host arrays, so they keep
+        # the download path)
+        device_resident = (
+            _resolve_merge_backend(cfg.merge_backend) == "device"
+            and not block_chars and not cfg.checkpoint_dir)
+        if device_resident:
+            from ..ops.ms_dense import ms_dense_heads_on_device
+            rq = cfg.rle and cfg.replicate_reference_rle_quirk
+            with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
+                ddres = ms_dense_heads_on_device(x_aug, coll.sx)
+            with timer.phase("merge_device"):
+                from .device_merge import merge_heads_device_resident
+                run_len, run_char, counter = merge_heads_device_resident(
+                    ddres, coll.d, rq)
+            index = ReferenceIndex(
+                x=x_aug, x_padded=np.concatenate(
+                    [x_aug, np.zeros(1, np.uint8)]),
+                n=len(x_aug), sa=None, isa=None, lcp=None, plcp=None,
+                bwt=None, rank_history=[])
+            result = PipelineResult(
+                run_len=run_len, run_char=run_char, d=coll.d, sn=coll.sn,
+                h=ddres.h, counter=counter)
+            return _write_outputs(cfg, outname, index, result, timer)
         with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
             if cached is not None:
                 cached = {k: v for k, v in cached.items()}

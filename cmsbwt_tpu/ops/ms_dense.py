@@ -371,7 +371,8 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     x_u8[:n] = x_aug
     sx_u8 = np.zeros(sn_pad, np.uint8)
     sx_u8[:sn] = sx
-    j, b, sp = _build_joint_device(jnp.asarray(x_u8), jnp.asarray(sx_u8),
+    x_dev = jnp.asarray(x_u8)
+    j, b, sp = _build_joint_device(x_dev, jnp.asarray(sx_u8),
                                    n_t, sn_t, scale, jnp.int32(0),
                                    n_pad, sn_pad)
     mark("upload+build_joint", j)
@@ -393,7 +394,7 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     mark("assemble", pos)
     return dict(j=j, n=n, sn=sn, n_pad=n_pad, sn_pad=sn_pad, m=m, rho=rho,
                 scale=scale, n_t=n_t, sn_t=sn_t, pos=pos, length=length,
-                smaller=smaller, ref_sa=ref_sa, ref_isa=ref_isa)
+                smaller=smaller, ref_sa=ref_sa, ref_isa=ref_isa, x_dev=x_dev)
 
 
 def _export_ref(core) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -457,6 +458,105 @@ def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
         head_char=np.asarray(out_chr)[:h].astype(np.uint8),
         ref_sa=ref_sa, ref_isa=ref_isa, ref_bwt=ref_bwt,
         h=h, sn=sn, irreducible=core["rho"])
+
+
+@dataclass
+class DeviceHeadsResult:
+    """Device-resident form of DenseHeadsResult: head records (h_pad, zero
+    pads beyond h) and reference index (n_pad, zero pads beyond n) stay on
+    the chip, in the exact layout engine/device_merge.py consumes — nothing
+    O(n) or O(H) crosses the ~tens-of-MB/s host link between the scan and
+    the merge."""
+
+    head_t: jnp.ndarray        # int32[h_pad]
+    head_pos: jnp.ndarray      # int32[h_pad]
+    head_len: jnp.ndarray      # int32[h_pad]
+    head_smaller: jnp.ndarray  # bool[h_pad]
+    head_char: jnp.ndarray     # uint8[h_pad]
+    ref_sa: jnp.ndarray        # int32[n_pad]
+    ref_isa: jnp.ndarray       # int32[n_pad]
+    ref_bwt: jnp.ndarray       # uint8[n_pad]
+    h: int
+    n: int
+    sn: int
+    irreducible: int
+
+
+@functools.partial(jax.jit, static_argnames=("h_pad", "n_pad"))
+def _finish_for_merge(t, pos, length, smaller, char, scale, ref_sa, ref_isa,
+                      x_dev, n, h, h_pad: int, n_pad: int):
+    """Zero-fill pads (the merge kernels assume zeroed pad regions, matching
+    merge_heads_numpy's np.full fill) and compute the reference BWT on
+    device (ref CMS-BWT-functions.cpp:294-297)."""
+    def hpad(a, fill):
+        src = a.shape[0]
+        if src < h_pad:
+            a = jnp.concatenate(
+                [a, jnp.full(h_pad - src, fill, a.dtype)])
+        return jax.lax.dynamic_slice(a, (0,), (h_pad,))
+
+    hid = jnp.arange(h_pad, dtype=jnp.int32)
+    keep = hid < h
+    t = jnp.where(keep, hpad(t, 0), 0)
+    pos = jnp.where(keep, hpad(pos, 0), 0)
+    length = jnp.where(keep, hpad(length, 0), 0)
+    smaller = jnp.where(keep, hpad(smaller, False), False)
+    char = jnp.where(keep, (hpad(char, 0) // scale), 0).astype(jnp.uint8)
+
+    rid = jnp.arange(n_pad, dtype=jnp.int32)
+    rkeep = rid < n
+    ref_sa = jnp.where(rkeep, ref_sa, 0)
+    ref_isa = jnp.where(rkeep, ref_isa, 0)
+    xp = jnp.concatenate([x_dev, jnp.zeros(1, jnp.uint8)])
+    ref_bwt = jnp.where(rkeep & (ref_sa > 0),
+                        xp[jnp.clip(ref_sa - 1, 0, n_pad - 1)],
+                        jnp.uint8(0))
+    return t, pos, length, smaller, char, ref_sa, ref_isa, ref_bwt
+
+
+def ms_dense_heads_on_device(x_aug: np.ndarray, sx: np.ndarray,
+                             bucketed: bool = True) -> DeviceHeadsResult:
+    """Dense MS whose result STAYS on device for the device merge engine
+    (engine/device_merge.py): only the scalars (h, rho) reach the host."""
+    from ..utils.jaxcache import bucket_size
+    mark = _stage_timer()
+    core = _dense_core(x_aug, sx, bucketed)
+    n, sn = core["n"], core["sn"]
+    (pos, length, smaller, is_head, h_dev,
+     char) = _postprocess(core["j"], core["pos"], core["length"],
+                          core["smaller"], core["n_t"], core["sn_t"],
+                          core["scale"], core["n_pad"], core["sn_pad"])
+    h = int(np.asarray(h_dev))
+    mark("postprocess", pos)
+    h_pad = bucket_size(h + 1)
+    out_t, out_pos, out_len, out_sml, out_chr = _compact_heads_raw(
+        pos, length, smaller, is_head, char,
+        core["sn_pad"], min(h_pad, core["sn_pad"] + 1))
+    mark("compact_heads", out_t)
+    (t, pos_h, len_h, sml_h, chr_h, ref_sa, ref_isa,
+     ref_bwt) = _finish_for_merge(
+        out_t, out_pos, out_len, out_sml, out_chr, core["scale"],
+        core["ref_sa"], core["ref_isa"], core["x_dev"], core["n_t"],
+        jnp.int32(h), h_pad, core["n_pad"])
+    mark("finish_for_merge", t)
+    return DeviceHeadsResult(
+        head_t=t, head_pos=pos_h, head_len=len_h, head_smaller=sml_h,
+        head_char=chr_h, ref_sa=ref_sa, ref_isa=ref_isa, ref_bwt=ref_bwt,
+        h=h, n=n, sn=sn, irreducible=core["rho"])
+
+
+@functools.partial(jax.jit, static_argnames=("sn_pad", "h_pad"))
+def _compact_heads_raw(pos, length, smaller, is_head, char,
+                       sn_pad: int, h_pad: int):
+    """_compact_heads without the byte recovery (char stays a raw joint
+    value; _finish_for_merge divides on the compacted slice)."""
+    tidx = jnp.arange(sn_pad, dtype=jnp.int32)
+    key = jnp.where(is_head, tidx, INT_MAX)
+    _, t_s, pos_s, len_s, sml_s, chr_s = jax.lax.sort(
+        (key, tidx, pos, length, smaller.astype(jnp.int32), char),
+        num_keys=1)
+    sl = lambda x: jax.lax.dynamic_slice(x, (0,), (h_pad,))
+    return sl(t_s), sl(pos_s), sl(len_s), sl(sml_s) != 0, sl(chr_s)
 
 
 # ---------------------------------------------------------------------------
