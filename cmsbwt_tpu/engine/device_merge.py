@@ -106,7 +106,9 @@ def group_dev(pos, ln, smaller, to_next, isa_next, h, n, h_pad: int):
              (p_s[1:] != p_s[:-1]) | (li_s[1:] != li_s[:-1])])
         valid_s = jnp.arange(h_pad) < h  # sorted: valid entries first
         firsts = new_grp & valid_s
-        n_classes = jnp.sum(firsts.astype(jnp.int32))
+        # jnp.sum promotes integer inputs to the default int (int64 under
+        # x64) — pin int32 so consumers outside the x64 block don't warn
+        n_classes = jnp.sum(firsts.astype(jnp.int32)).astype(jnp.int32)
         gid = jnp.cumsum(firsts.astype(jnp.int32)) - 1  # class id, sorted ord
         # compact class firsts: (first?, sorted position, pos, len, isa, head)
         ckey = jnp.where(firsts, idx, INT_MAX)
@@ -302,7 +304,14 @@ def _join_lower_bound(sorted_vals, n_valid, queries, q_pad):
 def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
     """Expand (class, bucket) pairs, lower_bound each query key in its
     bucket via one global sorted join, and credit the good path. Returns
-    (counter partial, exact-pair info) — the exact path runs separately."""
+    (counter partial, exact-pair info) — the exact path runs separately.
+
+    Per-pair class attributes arrive by packed scatter+cummax segment
+    fills, not gathers: a p_pad-length fill runs at memory bandwidth while
+    a p_pad random gather serializes (~tens of M elem/s) — at millions of
+    pairs the fills are the difference between a bandwidth-bound and a
+    gather-bound kernel."""
+    assert p_pad + 1 <= (1 << 30), "pair pack exceeds the 63-bit budget"
     cidx = jnp.arange(h_pad, dtype=jnp.int32)
     cvalid = cidx < cls["n_classes"]
     cnt = pairs["pair_cnt"]
@@ -316,13 +325,31 @@ def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
         cidx + 1, mode="drop")
     src_cls = jax.lax.cummax(starts) - 1
     src_cls = jnp.clip(src_cls, 0, h_pad - 1)
-    within = pidx - off[src_cls]
-    b_idx = pairs["pair_lo"][src_cls] + within
+
+    # packed segment fills: value ((off+1) << 33) | payload scattered at
+    # each class's first pair, cummax-filled; payload <= 33 bits, marker
+    # (off+1) <= 2^27 keeps the pack in 60 bits
+    def seg_fill(payload):
+        with jax.enable_x64(True):
+            packed = ((off.astype(jnp.int64) + 1) << 33) | \
+                payload.astype(jnp.int64)
+            at = jnp.where(cvalid & (cnt > 0), off, p_pad)
+            base = jnp.full(p_pad, -1, jnp.int64).at[at].max(
+                packed, mode="drop")
+            return jax.lax.cummax(base) & ((jnp.int64(1) << 33) - 1)
+
+    # b_idx = pidx + (pair_lo - off); biased by p_pad to stay non-negative
+    delta1 = seg_fill(pairs["pair_lo"] - off + p_pad)
+    b_idx = (pidx + delta1 - p_pad).astype(jnp.int32)
     b = pairs["bucket_pos"][jnp.clip(b_idx, 0, h_pad - 1)]
-    k = b - cls["pos"][src_cls] - 1
-    q_len = cls["length"][src_cls] - 1 - k
-    q_small = cls["smaller"][src_cls]
-    q_isa = cls["isa_next"][src_cls]
+    # q_len = (length + pos) - b; smaller rides the low bit
+    s1s = seg_fill(((cls["length"].astype(jnp.int64)
+                     + cls["pos"].astype(jnp.int64)) << 1)
+                   | cls["smaller"].astype(jnp.int64))
+    q_len = ((s1s >> 1) - b.astype(jnp.int64)).astype(jnp.int32)
+    q_small = (s1s & 1) != 0
+    q_isa = seg_fill(cls["isa_next"]).astype(jnp.int32)
+    q_size = seg_fill(cls["size"]).astype(jnp.int32)
     q_k = jnp.where(q_small, q_len, 2 * n - q_len)
     # global join: targets = classes (pos, K*(n+1)+isa), queries = (b, qk..)
     with jax.enable_x64(True):
@@ -358,10 +385,10 @@ def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
     good = in_range & ~exact
     counter = jnp.zeros(h_pad + 2, jnp.int32).at[
         jnp.where(good, slot_base[found], h_pad + 1)].add(
-        cls["size"][src_cls], mode="drop")
+        q_size, mode="drop")
     n_exact = jnp.sum(exact.astype(jnp.int32))
     with jax.enable_x64(True):
-        exact_members = jnp.sum(jnp.where(exact, cls["size"][src_cls], 0)
+        exact_members = jnp.sum(jnp.where(exact, q_size, 0)
                                 .astype(jnp.int64))
     # compact exact pairs: (src class, found class, bucket idx)
     ekey = jnp.where(exact, pidx, INT_MAX)
@@ -590,8 +617,35 @@ def runs_fill_dev(cls, slot_base, counter, tails_cnt, bwt_heads,
 # ---------------------------------------------------------------------------
 
 def _pow2_pad(x: int, cap: int) -> int:
-    p = 1 << max(4, int(np.ceil(np.log2(max(x, 1)))))
+    """Geometric (1.25x) padding bucket: stable jit shapes at ~1/8 the pad
+    waste of power-of-two rounding (pad waste is real time here — sorts,
+    fills, and the host download all run over the padded length)."""
+    from ..utils.jaxcache import bucket_size
+    p = bucket_size(max(x, 1))
     return min(p, cap) if cap else p
+
+
+@functools.partial(jax.jit, static_argnames=("r_pad",))
+def _compact_runs(run_len, run_char, r_pad: int):
+    """Drop zero-length runs (the writers skip them anyway) and pack each
+    survivor into one uint32 ``(len << 8) | char`` — a ~4x smaller download
+    through the tens-of-MB/s host link. Stable by construction: the sort
+    key is the run index. Falls back to unpacked arrays when any run length
+    needs >= 24 bits (the caller checks ``maxlen``)."""
+    out_i = jnp.arange(r_pad, dtype=jnp.int32)
+    nz = run_len > 0
+    key = jnp.where(nz, out_i, INT_MAX)
+    _, rl, rc = jax.lax.sort((key, run_len, run_char), num_keys=1)
+    n_nz = jnp.sum(nz.astype(jnp.int32))
+    maxlen = jnp.max(run_len)
+    packed = (rl.astype(jnp.uint32) << jnp.uint32(8)) | rc.astype(jnp.uint32)
+    return packed, rl, rc, jnp.stack([n_nz, maxlen])
+
+
+@functools.partial(jax.jit, static_argnames=("r_cut",))
+def _slice_runs(packed, rl, rc, r_cut: int):
+    sl = lambda a: jax.lax.dynamic_slice(a, (0,), (r_cut,))
+    return sl(packed), sl(rl), sl(rc)
 
 
 def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
@@ -655,8 +709,17 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
         ref_sa, ref_isa, ref_bwt, extra, m_c, bucket_rank, new_b, bid,
         ecls, d_t, n_t, h_t, h_pad, n_pad, r_pad, rle_quirk)
     mark("runs_fill", run_len)
-    rl = np.asarray(run_len)[:total_runs].astype(np.int64)
-    rc = np.asarray(run_char)[:total_runs]
+    packed, rl_d, rc_d, scalars = _compact_runs(run_len, run_char, r_pad)
+    n_nz, maxlen = (int(v) for v in np.asarray(scalars))
+    r_cut = _pow2_pad(max(n_nz, 1), r_pad)
+    packed, rl_d, rc_d = _slice_runs(packed, rl_d, rc_d, r_cut)
+    if maxlen < (1 << 24):
+        p_np = np.asarray(packed)[:n_nz]
+        rl = (p_np >> 8).astype(np.int64)
+        rc = (p_np & 0xFF).astype(np.uint8)
+    else:
+        rl = np.asarray(rl_d)[:n_nz].astype(np.int64)
+        rc = np.asarray(rc_d)[:n_nz]
     mark("runs_download")
     # counterSmallerThanHead, slot-indexed (debug artifact parity,
     # ref :919-924); host layout is int64[h+1]

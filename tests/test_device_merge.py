@@ -100,9 +100,11 @@ def test_device_merge_matches_host(seed, ref_len, n_docs, snp, dups,
     run_len_d, run_char_d, counter_d = _device_runs(
         index, heads_h, len(sx), d, rle_quirk)
     np.testing.assert_array_equal(counter_d, counter_h)
-    assert len(run_len_d) == len(run_len_h)
-    np.testing.assert_array_equal(run_len_d, run_len_h)
-    np.testing.assert_array_equal(run_char_d, run_char_h)
+    # the device merge drops zero-length runs on device (the writers skip
+    # them anyway) — compare against the host list filtered the same way
+    keep = np.asarray(run_len_h) > 0
+    np.testing.assert_array_equal(run_len_d, np.asarray(run_len_h)[keep])
+    np.testing.assert_array_equal(run_char_d, np.asarray(run_char_h)[keep])
     # and the rendered bytes agree end-to-end
     assert merge_mod.runs_to_plain(run_len_d, run_char_d) == \
         merge_mod.runs_to_plain(run_len_h, run_char_h)
