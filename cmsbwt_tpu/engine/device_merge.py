@@ -366,25 +366,54 @@ def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
         flag = jnp.concatenate([jnp.ones(h_pad, jnp.int32),
                                 jnp.zeros(p_pad, jnp.int32)])
         srcidx = jnp.concatenate([cidx, pidx])
-        k1s, k2s, f_s, i_s = jax.lax.sort((key1, key2, flag, srcidx),
-                                          num_keys=3)
-    tgt = _rev_fill_min(jnp.where(f_s == 1, i_s, jnp.int32(h_pad)))
-    tgt = jnp.clip(tgt, 0, h_pad - 1)
-    qkey = jnp.where(f_s == 0, i_s, INT_MAX)
-    _, found = jax.lax.sort((qkey, tgt), num_keys=1)
-    found = found[:p_pad]
-    # in-bucket: the found class must live at the query's bucket position
-    in_range = pvalid & (cls["pos"][found] == b) & \
-        (found < cls["n_classes"])
+        pay_slot = jnp.concatenate([slot_base[:h_pad],
+                                    jnp.zeros(p_pad, jnp.int32)])
+        k1s, k2s, f_s, i_s, slot_s = jax.lax.sort(
+            (key1, key2, flag, srcidx, pay_slot), num_keys=3)
+    # Propagate the nearest-at-or-after target's attributes to each query
+    # row by packed (row << 31 | payload) reverse cummins — the row is the
+    # high field so the nearest target wins and each fill carries one
+    # 31-bit payload. Replaces four p_pad random gathers at the found
+    # class (gathers serialize; fills run at memory bandwidth). The
+    # exact-key test needs no key_k/isa fill at all: sorted by (k1, k2),
+    # a query's target has equal k2 iff the nearest target row lies inside
+    # the query's own (k1, k2) run.
+    jn_pad = h_pad + p_pad
+    rowsi = jnp.arange(jn_pad, dtype=jnp.int32)
     with jax.enable_x64(True):
-        t_k2f = cls["key_k"][found].astype(jnp.int64) * (n + 1).astype(
-            jnp.int64) + cls["isa_next"][found].astype(jnp.int64)
-        exact = in_range & (t_k2f == (q_k.astype(jnp.int64)
-                                      * (n + 1).astype(jnp.int64)
-                                      + q_isa.astype(jnp.int64)))
-    good = in_range & ~exact
+        rows = rowsi.astype(jnp.int64)
+        FILL_BIG = jnp.int64((1 << 62) - 1)
+        LOW31 = (jnp.int64(1) << 31) - 1
+
+        def rev_fill(payload31):
+            packed = jnp.where(f_s == 1, (rows << 31)
+                               | payload31.astype(jnp.int64), FILL_BIG)
+            return jax.lax.cummin(packed, axis=0, reverse=True)
+
+        fp = rev_fill(k1s)          # nearest target's bucket pos + row
+        f_pos = (fp & LOW31).astype(jnp.int32)
+        t_row = (fp >> 31).astype(jnp.int32)
+        f_slot = (rev_fill(slot_s) & LOW31).astype(jnp.int32)
+        f_cls = (rev_fill(i_s) & LOW31).astype(jnp.int32)
+        change_next = jnp.concatenate(
+            [(k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1]),
+             jnp.ones(1, dtype=bool)])
+    run_end = _rev_fill_min(jnp.where(change_next, rowsi, jnp.int32(jn_pad)))
+    is_q = f_s == 0
+    in_range_s = is_q & (f_pos == k1s) & (k1s < INT_MAX)
+    exact_s = in_range_s & (t_row <= run_end)
+    flags_s = jnp.where(exact_s, 2, 0) + jnp.where(in_range_s, 1, 0)
+    # route back to pair order
+    qkey = jnp.where(is_q, i_s, INT_MAX)
+    _, flags, f_slot, f_cls = jax.lax.sort(
+        (qkey, flags_s, f_slot, f_cls), num_keys=1)
+    flags = flags[:p_pad]
+    f_slot = f_slot[:p_pad]
+    found = f_cls[:p_pad]
+    exact = pvalid & (flags >= 2)
+    good = pvalid & (flags == 1)
     counter = jnp.zeros(h_pad + 2, jnp.int32).at[
-        jnp.where(good, slot_base[found], h_pad + 1)].add(
+        jnp.where(good, f_slot, h_pad + 1)].add(
         q_size, mode="drop")
     n_exact = jnp.sum(exact.astype(jnp.int32))
     with jax.enable_x64(True):
@@ -464,10 +493,23 @@ def tail_exact_dev(cls, pairs, slot_base, member_rank_sorted, cls_of_slot,
 # Stage 5: run assembly (ref :939-1085 / :1630-1777)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("h_pad", "n_pad", "rle_quirk"))
-def runs_count_dev(cls, sa_ord, ref_isa, d, n, h_pad: int, n_pad: int,
-                   rle_quirk: bool):
-    """Total run-slot count + per-rank offsets (host fetches the total)."""
+@functools.partial(jax.jit,
+                   static_argnames=("h_pad", "n_pad", "rle_quirk"))
+def runs_emit_dev(cls, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
+                  ref_sa, ref_isa, ref_bwt, d, n,
+                  h_pad: int, n_pad: int, rle_quirk: bool):
+    """Assemble the output run list (the traversal of engine/merge.py:
+    build_runs / ref :939-1085) by SORTED EMISSION instead of dense
+    scatters: every run source yields (offset, len, char) lanes, one sort
+    by offset orders them, adjacent equal-char runs merge on device (both
+    writers merge adjacent equal chars anyway — ref :1003-1085 — so
+    pre-merging is byte-transparent for either format), and a second sort
+    compacts the merged list for a packed O(runs) download.
+
+    Returns (packed uint32 ``len<<8|char``, len int32, char uint8,
+    scalars [n_runs, maxlen]); the caller picks packed vs unpacked by
+    ``maxlen < 2**24``.
+    """
     cidx = jnp.arange(h_pad, dtype=jnp.int32)
     nec = cls["n_classes"] - 1
     evalid = cidx < nec
@@ -487,53 +529,28 @@ def runs_count_dev(cls, sa_ord, ref_isa, d, n, h_pad: int, n_pad: int,
     extra = 2 * hb_at + (ncls_at if rle_quirk
                          else jnp.minimum(ncls_at, 1)) - \
         jnp.minimum(ncls_at, 1)
-    # runs_per_rank = 1 + extra  (for ranks in [1, n))
     ridx = jnp.arange(n_pad, dtype=jnp.int32)
     with jax.enable_x64(True):
-        total = (d - 1).astype(jnp.int64) + \
-            jnp.sum(jnp.where((ridx >= 1) & (ridx < n), 1 + extra, 0)
-                    .astype(jnp.int64))
-    return total, extra, m_c, bucket_rank, new_b, bid, ecls
-
-
-@functools.partial(jax.jit,
-                   static_argnames=("h_pad", "n_pad", "r_pad", "rle_quirk"))
-def runs_fill_dev(cls, slot_base, counter, tails_cnt, bwt_heads,
-                  ref_sa, ref_isa, ref_bwt, extra, m_c, bucket_rank, new_b,
-                  bid, ecls, d, n, h, h_pad: int, n_pad: int, r_pad: int,
-                  rle_quirk: bool):
-    """Fill (run_len, run_char) exactly like engine/merge.py:build_runs.
-
-    64-bit run offsets (run totals can exceed 2^31 before chars do).
-    """
-    with jax.enable_x64(True):
-        cidx = jnp.arange(h_pad, dtype=jnp.int32)
-        nec = cls["n_classes"] - 1
-        evalid = cidx < nec
-        ridx = jnp.arange(n_pad, dtype=jnp.int32)
         rank_valid = (ridx >= 1) & (ridx < n)
         runs_per_rank = jnp.where(rank_valid, 1 + extra, 0)
         offsets = (jnp.cumsum(runs_per_rank.astype(jnp.int64))
-                   - runs_per_rank).astype(jnp.int64) + (d - 1)
+                   - runs_per_rank) + (d - 1).astype(jnp.int64)
+        I64B = jnp.int64((1 << 62) - 1)
 
-        run_len = jnp.zeros(r_pad, jnp.int32)
-        run_char = jnp.zeros(r_pad, jnp.uint8)
-        out_i = jnp.arange(r_pad, dtype=jnp.int32)
-        # prelude (ref :946): BWTheads[0..D-2]
-        run_len = jnp.where(out_i < d - 1, 1, run_len)
-        run_char = jnp.where(out_i < d - 1,
-                             bwt_heads[jnp.clip(out_i, 0, h_pad - 1)], run_char)
-        # simple buckets: one tails run each
+        # --- lane sources (offset, len, char) ---
+        # A: prelude BWTheads[0..D-2] (ref :946)
+        a_off = cidx.astype(jnp.int64)
+        a_len = jnp.where(cidx < d - 1, 1, 0)
+        a_chr = bwt_heads[jnp.clip(cidx, 0, h_pad - 1)].astype(jnp.int32)
+        # B: simple buckets — one tails run each
         simple = rank_valid & (extra == 0)
         sa_r = jnp.clip(ref_sa, 0, n_pad - 1)
-        dump = jnp.int64(r_pad)
-        run_len = run_len.at[jnp.where(simple, offsets, dump)].set(
-            tails_cnt[sa_r], mode="drop")
-        run_char = run_char.at[jnp.where(simple, offsets, dump)].set(
-            ref_bwt, mode="drop")
-
-        # class-level: start offset of each emission class inside its bucket
-        b_char = ref_bwt[jnp.clip(bucket_rank, 0, n_pad - 1)]
+        b_off = offsets
+        b_len = jnp.where(simple, tails_cnt[sa_r], 0)
+        b_chr = ref_bwt.astype(jnp.int32)
+        # class-level geometry (identical to runs layout in engine/merge.py)
+        bchar = ref_bwt[jnp.clip(bucket_rank, 0, n_pad - 1)] \
+            .astype(jnp.int32)
         first_of_b = jnp.zeros(h_pad, jnp.int32).at[
             jnp.where(new_b, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].set(
             cidx, mode="drop")
@@ -546,13 +563,10 @@ def runs_fill_dev(cls, slot_base, counter, tails_cnt, bwt_heads,
             jnp.clip(bid, 0, h_pad - 1)]
         cls_start = offsets[jnp.clip(bucket_rank, 0, n_pad - 1)] + \
             2 * mc_before + (k_c.astype(jnp.int64) if rle_quirk else 0)
-
-        # slot-level: strided cumsum expansion (merge.py numpy fallback, on
-        # device). tot slots = h - (d - 1) pseudo... = sum(m_c)
+        # C/D: per member slot — tails run + the head's own char
         midx = jnp.arange(h_pad, dtype=jnp.int32)
         tot_slots = jnp.sum(m_c)
         mvalid = midx < tot_slots
-        # slot_text[s] = base_c[c] + (s - ex_mc[c]); ridx_tail = cls_start + 2*..
         base_c = slot_base[ecls]
         cstart = jnp.zeros(h_pad, jnp.int32).at[
             jnp.where(evalid & (m_c > 0), ex_mc, h_pad)].max(
@@ -562,16 +576,14 @@ def runs_fill_dev(cls, slot_base, counter, tails_cnt, bwt_heads,
         slot_text = jnp.clip(base_c[cls_of] + within, 0, h_pad - 1)
         rt = cls_start[cls_of] + 2 * within.astype(jnp.int64)
         cnt_slot = counter[slot_text]
-        run_len = run_len.at[jnp.where(mvalid, rt, dump)].set(
-            cnt_slot, mode="drop")
-        run_char = run_char.at[jnp.where(mvalid, rt, dump)].set(
-            b_char[cls_of], mode="drop")
-        run_len = run_len.at[jnp.where(mvalid, rt + 1, dump)].set(
-            1, mode="drop")
-        run_char = run_char.at[jnp.where(mvalid, rt + 1, dump)].set(
-            bwt_heads[jnp.clip(d - 1 + midx, 0, h_pad - 1)], mode="drop")
-
-        # residuals: per-class cumulative emitted (counter sums + heads)
+        c_off = rt
+        c_len = jnp.where(mvalid, cnt_slot, 0)
+        c_chr = bchar[cls_of]
+        d_off = rt + 1
+        d_len = jnp.where(mvalid, 1, 0)
+        d_chr = bwt_heads[jnp.clip(d - 1 + midx, 0, h_pad - 1)] \
+            .astype(jnp.int32)
+        # E: residuals — per class (quirk) / per last class of bucket
         ccnt = jnp.cumsum(jnp.where(mvalid, cnt_slot, 0).astype(jnp.int64))
         csum_hi = ccnt[jnp.clip(ex_mc + m_c - 1, 0, h_pad - 1)]
         csum_lo = jnp.where(ex_mc > 0,
@@ -587,29 +599,54 @@ def runs_fill_dev(cls, slot_base, counter, tails_cnt, bwt_heads,
             jnp.where(evalid, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].add(
             m_c.astype(jnp.int64), mode="drop")
         b_total = hb_b[jnp.clip(bid, 0, h_pad - 1)] + tails_cnt[
-            jnp.clip(ref_sa[jnp.clip(bucket_rank, 0, n_pad - 1)], 0, n_pad - 1)
-        ].astype(jnp.int64)
+            jnp.clip(ref_sa[jnp.clip(bucket_rank, 0, n_pad - 1)], 0,
+                     n_pad - 1)].astype(jnp.int64)
         if rle_quirk:
-            rem = b_total - cum_inc_b
-            rr = cls_start + 2 * m_c.astype(jnp.int64)
-            run_len = run_len.at[jnp.where(evalid, rr, dump)].set(
-                rem.astype(jnp.int32), mode="drop")
-            run_char = run_char.at[jnp.where(evalid, rr, dump)].set(
-                b_char, mode="drop")
+            e_valid = evalid
+            e_off = cls_start + 2 * m_c.astype(jnp.int64)
         else:
-            # new_b is masked False beyond the valid classes, so the shifted
-            # flag misses the final class — or it in explicitly
+            # new_b is masked False beyond the valid classes, so the
+            # shifted flag misses the final class — or it in explicitly
             is_last_of_b = jnp.concatenate(
                 [new_b[1:], jnp.ones(1, dtype=bool)]) | (cidx + 1 == nec)
-            last = evalid & is_last_of_b
-            rem_b = b_total - cum_inc_b
+            e_valid = evalid & is_last_of_b
             hb_c = hb_b[jnp.clip(bid, 0, h_pad - 1)]
-            rr = offsets[jnp.clip(bucket_rank, 0, n_pad - 1)] + 2 * hb_c
-            run_len = run_len.at[jnp.where(last, rr, dump)].set(
-                rem_b.astype(jnp.int32), mode="drop")
-            run_char = run_char.at[jnp.where(last, rr, dump)].set(
-                b_char, mode="drop")
-    return run_len, run_char
+            e_off = offsets[jnp.clip(bucket_rank, 0, n_pad - 1)] + 2 * hb_c
+        e_len = jnp.where(e_valid, b_total - cum_inc_b, 0).astype(jnp.int32)
+        e_chr = bchar
+
+        off = jnp.concatenate([a_off, b_off, c_off, d_off, e_off])
+        lens = jnp.concatenate([a_len, b_len, c_len, d_len, e_len])
+        chars = jnp.concatenate([a_chr, b_chr, c_chr, d_chr, e_chr])
+        # run offsets are distinct by construction; zero-length and invalid
+        # lanes sort to the tail and drop out
+        key = jnp.where(lens > 0, off, I64B)
+        k_s, len_s, chr_s = jax.lax.sort((key, lens, chars), num_keys=1)
+        L = off.shape[0]
+        rowi = jnp.arange(L, dtype=jnp.int32)
+        valid_s = k_s < I64B
+        prv_chr = jnp.concatenate([jnp.full(1, -1, jnp.int32), chr_s[:-1]])
+        prv_valid = jnp.concatenate([jnp.zeros(1, bool), valid_s[:-1]])
+        nxt_chr = jnp.concatenate([chr_s[1:], jnp.full(1, -1, jnp.int32)])
+        nxt_valid = jnp.concatenate([valid_s[1:], jnp.zeros(1, bool)])
+        new_g = valid_s & (~prv_valid | (prv_chr != chr_s))
+        is_last = valid_s & (~nxt_valid | (nxt_chr != chr_s))
+        # merged length at each group's last lane: cumsum difference, the
+        # group-start exclusive sum forward-filled by a packed cummax
+        cum = jnp.cumsum(len_s.astype(jnp.int64))
+        exc = cum - len_s
+        packedg = jnp.where(
+            new_g, (rowi.astype(jnp.int64) << 32) | exc, jnp.int64(-1))
+        fe = jax.lax.cummax(packedg) & ((jnp.int64(1) << 32) - 1)
+        lenm = jnp.where(is_last, cum - fe, 0).astype(jnp.int32)
+        n_groups = jnp.sum(is_last.astype(jnp.int32))
+        maxlen = jnp.max(lenm)
+        key2 = jnp.where(is_last, rowi, INT_MAX)
+        _, rl, rc = jax.lax.sort((key2, lenm, chr_s), num_keys=1)
+    packed_out = (rl.astype(jnp.uint32) << jnp.uint32(8)) | \
+        rc.astype(jnp.uint32)
+    return packed_out, rl, rc.astype(jnp.uint8), jnp.stack(
+        [n_groups, maxlen])
 
 
 # ---------------------------------------------------------------------------
@@ -623,23 +660,6 @@ def _pow2_pad(x: int, cap: int) -> int:
     from ..utils.jaxcache import bucket_size
     p = bucket_size(max(x, 1))
     return min(p, cap) if cap else p
-
-
-@functools.partial(jax.jit, static_argnames=("r_pad",))
-def _compact_runs(run_len, run_char, r_pad: int):
-    """Drop zero-length runs (the writers skip them anyway) and pack each
-    survivor into one uint32 ``(len << 8) | char`` — a ~4x smaller download
-    through the tens-of-MB/s host link. Stable by construction: the sort
-    key is the run index. Falls back to unpacked arrays when any run length
-    needs >= 24 bits (the caller checks ``maxlen``)."""
-    out_i = jnp.arange(r_pad, dtype=jnp.int32)
-    nz = run_len > 0
-    key = jnp.where(nz, out_i, INT_MAX)
-    _, rl, rc = jax.lax.sort((key, run_len, run_char), num_keys=1)
-    n_nz = jnp.sum(nz.astype(jnp.int32))
-    maxlen = jnp.max(run_len)
-    packed = (rl.astype(jnp.uint32) << jnp.uint32(8)) | rc.astype(jnp.uint32)
-    return packed, rl, rc, jnp.stack([n_nz, maxlen])
 
 
 @functools.partial(jax.jit, static_argnames=("r_cut",))
@@ -699,19 +719,12 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
             h_pad, e_pad, em_pad)
         mark("tail_exact", counter)
 
-    total_d, extra, m_c, bucket_rank, new_b, bid, ecls = runs_count_dev(
-        cls, sa_ord, ref_isa, d_t, n_t, h_pad, n_pad, rle_quirk)
-    total_runs = int(np.asarray(total_d))
-    mark("runs_count(R=%d)" % total_runs)
-    r_pad = _pow2_pad(total_runs + 1, 0)
-    run_len, run_char = runs_fill_dev(
-        cls, slot_base, counter[:h_pad], tails_cnt, bwt_heads,
-        ref_sa, ref_isa, ref_bwt, extra, m_c, bucket_rank, new_b, bid,
-        ecls, d_t, n_t, h_t, h_pad, n_pad, r_pad, rle_quirk)
-    mark("runs_fill", run_len)
-    packed, rl_d, rc_d, scalars = _compact_runs(run_len, run_char, r_pad)
+    packed, rl_d, rc_d, scalars = runs_emit_dev(
+        cls, sa_ord, slot_base, counter[:h_pad], tails_cnt, bwt_heads,
+        ref_sa, ref_isa, ref_bwt, d_t, n_t, h_pad, n_pad, rle_quirk)
     n_nz, maxlen = (int(v) for v in np.asarray(scalars))
-    r_cut = _pow2_pad(max(n_nz, 1), r_pad)
+    mark("runs_emit(R=%d)" % n_nz)
+    r_cut = _pow2_pad(max(n_nz, 1), int(packed.shape[0]))
     packed, rl_d, rc_d = _slice_runs(packed, rl_d, rc_d, r_cut)
     if maxlen < (1 << 24):
         p_np = np.asarray(packed)[:n_nz]

@@ -100,11 +100,20 @@ def test_device_merge_matches_host(seed, ref_len, n_docs, snp, dups,
     run_len_d, run_char_d, counter_d = _device_runs(
         index, heads_h, len(sx), d, rle_quirk)
     np.testing.assert_array_equal(counter_d, counter_h)
-    # the device merge drops zero-length runs on device (the writers skip
-    # them anyway) — compare against the host list filtered the same way
-    keep = np.asarray(run_len_h) > 0
-    np.testing.assert_array_equal(run_len_d, np.asarray(run_len_h)[keep])
-    np.testing.assert_array_equal(run_char_d, np.asarray(run_char_h)[keep])
+    # the device merge drops zero-length runs and merges adjacent
+    # equal-char runs on device (both writers normalize the same way) —
+    # compare against the host list normalized identically
+    rl_h = np.asarray(run_len_h)
+    rc_h = np.asarray(run_char_h)
+    keep = rl_h > 0
+    rl_h, rc_h = rl_h[keep], rc_h[keep]
+    new = np.ones(len(rc_h), dtype=bool)
+    new[1:] = rc_h[1:] != rc_h[:-1]
+    gid = np.cumsum(new) - 1
+    merged_len = np.zeros(int(gid[-1]) + 1 if len(gid) else 0, np.int64)
+    np.add.at(merged_len, gid, rl_h)
+    np.testing.assert_array_equal(run_len_d, merged_len)
+    np.testing.assert_array_equal(run_char_d, rc_h[new])
     # and the rendered bytes agree end-to-end
     assert merge_mod.runs_to_plain(run_len_d, run_char_d) == \
         merge_mod.runs_to_plain(run_len_h, run_char_h)
