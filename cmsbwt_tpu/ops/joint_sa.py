@@ -21,16 +21,15 @@ The caller must guarantee the joint string ENDS with a special (ms_dense
 bumps the pad bucket otherwise): then any window reaching past the end
 contains a special first, and past-end bytes never influence a key.
 
-Doubling then starts at window 8. LCP lifting needs window-equality tests at
-every level; levels >= 3 use the stored dense-rank history as before, and
-levels 2/1/0 use O(1)-space fingerprints instead of rank rows:
-
-* level 0: the joint symbol itself;
-* level 1: ``f1 = (j << 31) | (j[i+1] + 1)`` (both fit: symbols < 2^31);
-* level 2: two f1 equalities at offsets 0 and +2.
-
-This removes 6 of the ~2·(k*-1)+4 sort passes per joint SA build and 3 rank
-rows of HBM. Replaces the ``libsais()`` call of the reference
+Doubling then starts at window 8. LCP lifting needs window-equality tests
+at every level; levels >= 3 use the stored dense-rank history, and the
+remaining sub-8 bits come from ONE byte-compare of the seed window packs
+(``byte8_lcp``) — two gathers replace the six of the former fingerprint
+levels. Each round also records, per SA position, the level at which its
+left boundary first appeared (``split_lv``): rank-group ranges are
+position-stable under refinement, so the final adjacent lcp lies in
+[2^(L-1), 2^L) and the lift can start each pair at its own level.
+Replaces the ``libsais()`` call of the reference
 (ref CMS-BWT-functions.cpp:246-247) on the dense path.
 """
 from __future__ import annotations
@@ -55,9 +54,22 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
     sp int32[m]  instance rank (>= 1) for specials, 0 for real chars;
                  monotone with j within each special kind
 
-    Returns (sa, isa, hist, f1, k_star): ``hist[r]`` is the dense rank of
-    windows of 2^(r+3); ``f1`` the level-1 fingerprint; ``k_star`` the first
-    level with fully distinct ranks (max pairwise lcp < 2^k_star).
+    Returns (sa, isa, hist, pack8, k_star, split_lv):
+
+    * ``hist[r]`` is the dense rank of windows of 2^(r+3);
+    * ``pack8`` (int64[m], TEXT order) is the seed's masked 8-byte window
+      pack — the sub-8 LCP oracle consumed by the byte-compare tail of the
+      lifts (replaces the old f1 fingerprint levels);
+    * ``k_star`` is the first level with fully distinct ranks (max
+      pairwise lcp < 2^k_star);
+    * ``split_lv`` (int32[m], SA order) records, per SA position r >= 1,
+      the level at which the boundary between sa[r-1] and sa[r] first
+      appeared. Rank groups occupy POSITION-STABLE ranges under
+      refinement (refining only reorders within groups), so a boundary's
+      position never moves once created, and
+      ``lcp(sa[r-1], sa[r]) in [2^(L-1), 2^L)`` for L = split_lv[r] > 3
+      (L == 3 only bounds the lcp to < 8). This is what lets the lift
+      start each pair at its own top level instead of at k_star.
     """
     levels = n_levels(m)
     idx = jnp.arange(m, dtype=jnp.int32)
@@ -84,6 +96,7 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
             bk = jax.lax.dynamic_slice(bb, (k,), (m,))
             bk = jnp.where(jnp.int64(k) <= d, bk, jnp.uint64(0))
             p8 = (p8 << jnp.uint64(8)) | bk
+        pack8 = jax.lax.bitcast_convert_type(p8, jnp.int64)
         key = jax.lax.bitcast_convert_type(
             p8 ^ jnp.uint64(1 << 63), jnp.int64)  # order-preserving u64->i64
         k_s, v_s, ord_s = jax.lax.sort((key, v, idx), num_keys=2)
@@ -91,9 +104,7 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
             [jnp.ones(1, jnp.int32),
              ((k_s[1:] != k_s[:-1]) | (v_s[1:] != v_s[:-1])
               ).astype(jnp.int32)])
-        # level-1 fingerprint: pair of symbols; j < 2^31, past-end -> 0
-        jn = jnp.concatenate([j[1:], jnp.full(1, -1, jnp.int32)])
-        f1 = (j.astype(jnp.int64) << 31) | (jn.astype(jnp.int64) + 1)
+    split_lv = jnp.where(changed == 1, jnp.int32(SEED_LEVEL), 0)
     seed_sorted = jnp.cumsum(changed).astype(jnp.int32) - 1
     _, rank = jax.lax.sort((ord_s, seed_sorted), num_keys=1)
 
@@ -115,11 +126,11 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
         return jax.lax.dynamic_slice(padded, (shift,), (m,))
 
     def round_k(carry, k):
-        rank, sa, hist, done, k_star = carry
+        rank, sa, hist, done, k_star, lv = carry
         w = jnp.int32(1) << k
 
         def do_sort(args):
-            rank, sa = args
+            rank, sa, lv = args
             r1 = shifted(rank, w)
             r2 = shifted(rank, 2 * w)
             r3 = shifted(rank, 3 * w)
@@ -130,25 +141,26 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
                     (r3.astype(jnp.int64) + 1)
                 kk1_s, kk2_s, o_s = jax.lax.sort((kk1, kk2, idx),
                                                  num_keys=2)
-                ch_mid = jnp.concatenate(
-                    [jnp.ones(1, jnp.int32),
-                     (kk1_s[1:] != kk1_s[:-1]).astype(jnp.int32)])
-                ch_full = jnp.concatenate(
-                    [jnp.ones(1, jnp.int32),
-                     ((kk1_s[1:] != kk1_s[:-1]) |
-                      (kk2_s[1:] != kk2_s[:-1])).astype(jnp.int32)])
-            mid_sorted = jnp.cumsum(ch_mid).astype(jnp.int32) - 1
-            full_sorted = jnp.cumsum(ch_full).astype(jnp.int32) - 1
+                ch_mid_b = jnp.concatenate(
+                    [jnp.ones(1, bool), kk1_s[1:] != kk1_s[:-1]])
+                ch_full_b = ch_mid_b | jnp.concatenate(
+                    [jnp.ones(1, bool), kk2_s[1:] != kk2_s[:-1]])
+            # record first-appearance levels of the new boundaries (group
+            # ranges are position-stable, so sorted coords == final coords)
+            lv = jnp.where(ch_mid_b & (lv == 0), k + 1, lv)
+            lv = jnp.where(ch_full_b & (lv == 0), k + 2, lv)
+            mid_sorted = jnp.cumsum(ch_mid_b.astype(jnp.int32)) - 1
+            full_sorted = jnp.cumsum(ch_full_b.astype(jnp.int32)) - 1
             _, mid_rank, full_rank = jax.lax.sort(
                 (o_s, mid_sorted, full_sorted), num_keys=1)
-            return mid_rank, full_rank, o_s
+            return mid_rank, full_rank, o_s, lv
 
         def skip(args):
-            rank, sa = args
-            return rank, rank, sa
+            rank, sa, lv = args
+            return rank, rank, sa, lv
 
-        mid_rank, full_rank, sa = jax.lax.cond(done, skip, do_sort,
-                                               (rank, sa))
+        mid_rank, full_rank, sa, lv = jax.lax.cond(done, skip, do_sort,
+                                                   (rank, sa, lv))
         hist = hist.at[k - SEED_LEVEL + 1].set(mid_rank)
         hist = hist.at[k - SEED_LEVEL + 2].set(full_rank)
         mid_done = jnp.max(mid_rank) == m - 1
@@ -157,13 +169,13 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
                            jnp.where(mid_done, k + 1,
                                      jnp.where(full_done, k + 2, k_star)))
         done = done | full_done
-        return (full_rank, sa, hist, done, k_star), None
+        return (full_rank, sa, hist, done, k_star, lv), None
 
     done0 = jnp.max(rank) == m - 1
     sa0 = jnp.zeros(m, jnp.int32)
     k_star0 = jnp.where(done0, SEED_LEVEL, levels).astype(jnp.int32)
-    (rank, sa, hist, done, k_star), _ = jax.lax.scan(
-        round_k, (rank, sa0, hist, done0, k_star0),
+    (rank, sa, hist, done, k_star, split_lv), _ = jax.lax.scan(
+        round_k, (rank, sa0, hist, done0, k_star0, split_lv),
         jnp.asarray(ks, dtype=jnp.int32))
 
     def invert(_):
@@ -171,49 +183,56 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
         return s
 
     sa = jax.lax.cond(done0, invert, lambda a: a, sa)
-    return sa, rank, hist, f1, k_star
+    return sa, rank, hist, pack8, k_star, split_lv
 
 
-def lift_pairs(hist, f1, j, ai, bi, k_star, m: int):
-    """lcp(ai, bi) for index pairs, by binary lifting: levels >= 3 through
-    the rank history, levels 2/1/0 through fingerprints. Caller guarantees
-    ai/bi < m for valid entries (invalid entries carry ai >= m)."""
-    valid = ai < m
-    h = jnp.zeros(ai.shape, jnp.int32)
+def byte8_lcp(pa, pb):
+    """Common SYMBOL-prefix length (< 8) of two masked 8-byte window packs
+    (int64, first char in the high byte). Two symbols match iff their
+    bytes are equal AND neither is a special (bytes 2/255): distinct
+    suffixes never share a special instance, so a special always ends the
+    match. Pure VPU byte unpacking — no table gathers."""
+    with jax.enable_x64(True):
+        out = jnp.zeros(pa.shape, jnp.int32)
+        eq_so_far = jnp.ones(pa.shape, bool)
+        for t in range(8):
+            sh = 56 - 8 * t
+            ba = (pa >> sh) & jnp.int64(0xFF)
+            bb = (pb >> sh) & jnp.int64(0xFF)
+            sp = (ba == 2) | (ba == 255) | (bb == 2) | (bb == 255)
+            eq_so_far = eq_so_far & (ba == bb) & ~sp
+            out = out + eq_so_far.astype(jnp.int32)
+    return out
+
+
+def lift_pairs(hist, pack8, ai, bi, lv, m: int):
+    """lcp(ai, bi) for SA-adjacent index pairs by binary lifting.
+
+    ``lv`` is each pair's boundary split level (see joint_suffix_array):
+    the lift starts at h = 2^(lv-1) — guaranteed matched — and descends
+    the rank history to level 3; the final sub-8 bits come from one
+    byte-compare of the seed window packs at the resolved offset. Tests at
+    levels above a pair's own range are exact (they simply fail), so the
+    shared loop bound is max(lv) - 2. Invalid entries carry ai >= m."""
+    valid = (ai < m) & (bi < m)
+    lmax = jnp.max(jnp.where(valid, lv, 0))
+    h = jnp.where(valid & (lv > SEED_LEVEL),
+                  jnp.int32(1) << jnp.maximum(lv - 1, 0), 0)
 
     def gath(arr, at):
         return arr[jnp.clip(at, 0, m - 1)]
 
     def body(i, h):
-        k = k_star - 1 - i
-        rk = hist[jnp.maximum(k - SEED_LEVEL, 0)]
+        k = lmax - 2 - i
+        rk = jax.lax.dynamic_index_in_dim(
+            hist, jnp.maximum(k - SEED_LEVEL, 0), 0, keepdims=False)
         va = ai + h
         vb = bi + h
         ok = valid & (va < m) & (vb < m)
         eq = ok & (gath(rk, va) == gath(rk, vb))
         return h + jnp.where(eq, jnp.int32(1) << k, 0)
 
-    h = jax.lax.fori_loop(0, jnp.maximum(k_star - SEED_LEVEL, 0), body, h)
-
-    # level 2: windows of 4 == two f1 tests at +0 and +2. The +2 in-bounds
-    # guard cannot drop a true match: a window-4 match ending past the end
-    # would need equal tail specials, which are pairwise distinct.
-    va = ai + h
-    vb = bi + h
-    ok = valid & (va + 2 < m) & (vb + 2 < m)
-    eq = ok & (gath(f1, va) == gath(f1, vb)) & \
-        (gath(f1, va + 2) == gath(f1, vb + 2))
-    h = h + jnp.where(eq, 4, 0)
-    # level 1: f1 (handles the one-past-end truncation via the +1 encoding)
-    va = ai + h
-    vb = bi + h
-    ok = valid & (va < m) & (vb < m)
-    eq = ok & (gath(f1, va) == gath(f1, vb))
-    h = h + jnp.where(eq, 2, 0)
-    # level 0: the symbol itself
-    va = ai + h
-    vb = bi + h
-    ok = valid & (va < m) & (vb < m)
-    eq = ok & (gath(j, va) == gath(j, vb))
-    h = h + jnp.where(eq, 1, 0)
-    return h
+    h = jax.lax.fori_loop(
+        0, jnp.maximum(lmax - 2 - SEED_LEVEL + 1, 0), body, h)
+    rem = byte8_lcp(gath(pack8, ai + h), gath(pack8, bi + h))
+    return h + jnp.where(valid, rem, 0)

@@ -48,11 +48,12 @@ INT_MIN = -(2**31)
 INT_MAX = 2**31 - 1
 PAD_VAL = np.int32(2**30)  # sorts above every mapped char; pad suffixes
                            # cluster at the top of the joint SA (see below)
+LV_BINS = 34               # split-level histogram bins (levels < 32 + spill)
 
 
 def _joint_sa(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray, m: int):
     """Window-8–seeded doubling sort (ops/joint_sa.py); returns
-    (sa, isa, hist, f1, k_star)."""
+    (sa, isa, hist, pack8, k_star, split_lv)."""
     from .joint_sa import joint_suffix_array
     return joint_suffix_array(j, b, sp, m)
 
@@ -94,15 +95,20 @@ def _build_joint_device(x_u8, sx_u8, n, sn, scale, sep_base,
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n_pad"))
-def _irreducible_slots(j, sa, isa, n, sn, m: int, n_pad: int):
+def _irreducible_slots(j, sa, isa, split_lv, n, sn, m: int, n_pad: int):
     """Irreducible-LCP slots in SA order, compacted by sorting.
 
-    Returns (rho, ai_sorted, bi_sorted): the first rho entries of the
-    sorted arrays are the irreducible slots' text position sa[r] and φ
-    value sa[r-1]. Pad text positions are excluded — their (distinct) ramp
-    symbols would make every pad slot irreducible, and their PLCP values
-    are never consumed: each real region re-anchors at its own irreducible
-    (any position preceded by a pad char is itself irreducible).
+    Returns (stats, ai_sorted, bi_sorted, lv_sorted): the first rho
+    entries of the sorted arrays are the irreducible slots' text position
+    sa[r], φ value sa[r-1], and boundary split level. Pairs come out
+    sorted by split level DESCENDING (ties by slot), so a lift step for
+    hist level k touches exactly the prefix of pairs with lv >= k+2.
+    ``stats`` packs [rho, histogram of lv] into one int32 vector for a
+    single host fetch. Pad text positions are excluded — their (distinct)
+    ramp symbols would make every pad slot irreducible, and their PLCP
+    values are never consumed: each real region re-anchors at its own
+    irreducible (any position preceded by a pad char is itself
+    irreducible).
     """
     # joint BWT in SA order via one sort: payload v[i] = J[i-1] keyed by isa
     v = jnp.concatenate([jnp.full(1, -1, jnp.int32), j[:-1]])
@@ -114,27 +120,42 @@ def _irreducible_slots(j, sa, isa, n, sn, m: int, n_pad: int):
     irr = ~reducible & is_real
     rho = jnp.sum(irr.astype(jnp.int32))
     sa_prev = jnp.concatenate([jnp.full(1, m, jnp.int32), sa[:-1]])
-    key = jnp.where(irr, r, m)
-    _, ai, bi = jax.lax.sort((key, sa, sa_prev), num_keys=1)
-    return rho, ai, bi
+    with jax.enable_x64(True):
+        lvc = jnp.clip(split_lv, 0, LV_BINS - 2)
+        key = jnp.where(irr, ((LV_BINS - lvc.astype(jnp.int64)) << 32)
+                        | r.astype(jnp.int64), jnp.int64(1) << 62)
+        _, ai, bi, lvp = jax.lax.sort((key, sa, sa_prev, split_lv),
+                                      num_keys=1)
+    hist_lv = jnp.zeros(LV_BINS, jnp.int32).at[
+        jnp.where(irr, lvc, LV_BINS - 1)].add(
+        jnp.where(irr, 1, 0), mode="drop")
+    stats = jnp.concatenate([rho[None], hist_lv])
+    return stats, ai, bi, lvp
 
 
 @functools.partial(jax.jit, static_argnames=("m", "rho_pad"))
-def _lift_and_fill(hist, f1, j, ai_all, bi_all, sa, isa, k_star, m: int,
+def _lift_and_fill(hist, pack8, ai_all, bi_all, lv_all, isa, m: int,
                    rho_pad: int):
-    """Lift lcp(ai, bi) for the first rho_pad compacted pairs, fill PLCP for
-    all text positions, and return the adjacent joint LCP in SA order.
+    """Lift lcp(ai, bi) for the first rho_pad compacted pairs, fill PLCP
+    for all text positions, and return the adjacent joint LCP in SA order.
 
-    ``k_star`` bounds the lift: ranks are fully distinct at level k_star, so
-    every pairwise lcp is < 2^k_star and higher levels cannot match — the
-    rank-history loop runs k = k_star-1 .. 3; levels 2/1/0 go through the
-    fingerprints (ops/joint_sa.py)."""
+    Single-dispatch variant (used inside shard_map, where per-level host
+    orchestration is impossible): every pair runs the shared level loop.
+    The production single-device path uses the compacted per-level stepper
+    below instead."""
     from .joint_sa import lift_pairs
     ai = jax.lax.dynamic_slice(ai_all, (0,), (rho_pad,))
     bi = jax.lax.dynamic_slice(bi_all, (0,), (rho_pad,))
+    lv = jax.lax.dynamic_slice(lv_all, (0,), (rho_pad,))
+    h = lift_pairs(hist, pack8, ai, bi, lv, m)
+    return _fill_ell(h, ai, isa, m, rho_pad)
+
+
+@functools.partial(jax.jit, static_argnames=("m", "rho_pad"))
+def _fill_ell(h, ai, isa, m: int, rho_pad: int):
+    """Scatter pair lcps to text order, cummax-fill PLCP, re-sort to SA
+    order (the shared tail of both lift variants)."""
     valid = ai < m
-    h = lift_pairs(hist, f1, j, ai, bi, k_star, m)
-    # scatter rho values to text order (rho-sized scatter), then cummax fill
     base = jnp.full(m, INT_MIN, jnp.int32).at[
         jnp.where(valid, ai, m)].set(
         jnp.where(valid, h, INT_MIN), mode="drop")
@@ -145,6 +166,73 @@ def _lift_and_fill(hist, f1, j, ai_all, bi_all, sa, isa, k_star, m: int,
     _, ell = jax.lax.sort((isa, plcp), num_keys=1)
     ell = ell.at[0].set(0)
     return ell
+
+
+@functools.partial(jax.jit, static_argnames=("m", "rho_pad"))
+def _lift_start(ai_all, bi_all, lv_all, m: int, rho_pad: int):
+    """Slice the pair prefix and seed h = 2^(lv-1) (guaranteed matched —
+    the pair's boundary split at level lv, so lcp >= 2^(lv-1))."""
+    from .joint_sa import SEED_LEVEL
+    ai = jax.lax.dynamic_slice(ai_all, (0,), (rho_pad,))
+    bi = jax.lax.dynamic_slice(bi_all, (0,), (rho_pad,))
+    lv = jax.lax.dynamic_slice(lv_all, (0,), (rho_pad,))
+    valid = (ai < m) & (bi < m)
+    h = jnp.where(valid & (lv > SEED_LEVEL),
+                  jnp.int32(1) << jnp.maximum(lv - 1, 0), 0)
+    return ai, bi, h
+
+
+@functools.partial(jax.jit, static_argnames=("m", "c_pad"))
+def _lift_level_step(h, ai, bi, hist, k, m: int, c_pad: int):
+    """One descent level for the first c_pad pairs (those with lv >= k+2;
+    the caller sizes c_pad from the level histogram — pairs are sorted by
+    lv descending, so the active set is a prefix). Gathers scale with the
+    ACTIVE pair count, not rho: at typical SNP rates most pairs have small
+    lcps and the deep levels run on tiny prefixes."""
+    from .joint_sa import SEED_LEVEL
+    hc = jax.lax.dynamic_slice(h, (0,), (c_pad,))
+    ac = jax.lax.dynamic_slice(ai, (0,), (c_pad,))
+    bc = jax.lax.dynamic_slice(bi, (0,), (c_pad,))
+    rk = jax.lax.dynamic_index_in_dim(
+        hist, jnp.maximum(k - SEED_LEVEL, 0), 0, keepdims=False)
+    va = ac + hc
+    vb = bc + hc
+    ok = (ac < m) & (bc < m) & (va < m) & (vb < m)
+    eq = ok & (rk[jnp.clip(va, 0, m - 1)] == rk[jnp.clip(vb, 0, m - 1)])
+    hc = hc + jnp.where(eq, jnp.int32(1) << k, 0)
+    return jax.lax.dynamic_update_slice(h, hc, (0,))
+
+
+@functools.partial(jax.jit, static_argnames=("m", "rho_pad"))
+def _lift_bytes_fill(h, ai, bi, pack8, isa, m: int, rho_pad: int):
+    """Resolve the sub-8 lcp bits with one byte-compare of the seed window
+    packs, then fill (the orchestrated path's tail)."""
+    from .joint_sa import byte8_lcp
+    valid = (ai < m) & (bi < m)
+    ga = pack8[jnp.clip(ai + h, 0, m - 1)]
+    gb = pack8[jnp.clip(bi + h, 0, m - 1)]
+    h = h + jnp.where(valid, byte8_lcp(ga, gb), 0)
+    return _fill_ell(h, ai, isa, m, rho_pad)
+
+
+def _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all, isa,
+                       rho_stats, m: int, rho_pad: int):
+    """Host-orchestrated leveled lift: one small dispatch per hist level,
+    each over the bucketed prefix of pairs still in range (lv >= k+2).
+    rho_stats = host copy of the _irreducible_slots stats vector."""
+    from ..utils.jaxcache import bucket_size
+    from .joint_sa import SEED_LEVEL
+    hist_lv = rho_stats[1:]
+    ai, bi, h = _lift_start(ai_all, bi_all, lv_all, m, rho_pad)
+    live = np.nonzero(hist_lv)[0]
+    lmax = int(live.max()) if len(live) else 0
+    for k in range(lmax - 2, SEED_LEVEL - 1, -1):
+        cnt = int(hist_lv[k + 2:].sum())
+        if cnt == 0:
+            continue
+        c_pad = min(bucket_size(cnt), rho_pad)
+        h = _lift_level_step(h, ai, bi, hist, jnp.int32(k), m, c_pad)
+    return _lift_bytes_fill(h, ai, bi, pack8, isa, m, rho_pad)
 
 
 def _seg_min_scan(vals, reset, reverse=False):
@@ -377,15 +465,16 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
                                    n_pad, sn_pad)
     mark("upload+build_joint", j)
 
-    sa, isa, hist, f1, k_star = _joint_sa(j, b, sp, m)
+    sa, isa, hist, pack8, k_star, split_lv = _joint_sa(j, b, sp, m)
     mark("joint_sa", sa)
-    rho_dev, ai_all, bi_all = _irreducible_slots(j, sa, isa, n_t, sn_t,
-                                                  m, n_pad)
-    rho = int(np.asarray(rho_dev))
+    stats_dev, ai_all, bi_all, lv_all = _irreducible_slots(
+        j, sa, isa, split_lv, n_t, sn_t, m, n_pad)
+    stats = np.asarray(stats_dev)
+    rho = int(stats[0])
     mark("irreducible(rho=%d)" % rho, ai_all)
     rho_pad = min(_pow2_pad(rho), m)
-    ell = _lift_and_fill(hist, f1, j, ai_all, bi_all, sa, isa, k_star, m,
-                         rho_pad)
+    ell = _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all, isa,
+                             stats, m, rho_pad)
     mark("lift_and_fill", ell)
     pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
     mark("neighbors", a)
@@ -731,13 +820,15 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
                 jnp.int32(len(sx_blk)), jnp.int32(scale_i),
                 jnp.int32(sep_base), n_pad, bs_pad)
             n_t = jnp.int32(n)
-            sa, isa, hist, f1, k_star = _joint_sa(j, b, sp, m)
-            rho_dev, ai_all, bi_all = _irreducible_slots(
-                j, sa, isa, jnp.int32(n), jnp.int32(len(sx_blk)), m, n_pad)
-            rho = int(np.asarray(rho_dev))
+            sa, isa, hist, pack8, k_star, split_lv = _joint_sa(j, b, sp, m)
+            stats_dev, ai_all, bi_all, lv_all = _irreducible_slots(
+                j, sa, isa, split_lv, jnp.int32(n),
+                jnp.int32(len(sx_blk)), m, n_pad)
+            stats = np.asarray(stats_dev)
+            rho = int(stats[0])
             rho_pad = min(_pow2_pad(rho), m)
-            ell = _lift_and_fill(hist, f1, j, ai_all, bi_all, sa, isa,
-                                 k_star, m, rho_pad)
+            ell = _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all,
+                                     isa, stats, m, rho_pad)
             pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
             pos, length, smaller, rsa, risa = _assemble(
                 sa, pred_pos, succ_pos, a, b, n_t,

@@ -114,22 +114,24 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             blk = blocks[bi]
             dev = devices[i % len(devices)]
             j, b, sp = build_j(blk, dev)
-            sa, isa, hist, f1, k_star = MD._joint_sa(j, b, sp, blk["m"])
-            rho_dev, ai_all, bi_all = MD._irreducible_slots(
-                j, sa, isa, jnp.int32(n), jnp.int32(blk["len_blk"]),
-                blk["m"], n_pad)
-            stage.append((bi, j, sa, isa, hist, f1, k_star, rho_dev,
-                          ai_all, bi_all))
+            sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(
+                j, b, sp, blk["m"])
+            stats_dev, ai_all, bi_all, lv_all = MD._irreducible_slots(
+                j, sa, isa, split_lv, jnp.int32(n),
+                jnp.int32(blk["len_blk"]), blk["m"], n_pad)
+            stage.append((bi, j, sa, isa, hist, pack8, stats_dev,
+                          ai_all, bi_all, lv_all))
         # pass 2: lift -> neighbors -> assemble -> postprocess
         out = []
-        for (bi, j, sa, isa, hist, f1, k_star, rho_dev, ai_all,
-             bi_all) in stage:
+        for (bi, j, sa, isa, hist, pack8, stats_dev, ai_all,
+             bi_all, lv_all) in stage:
             blk = blocks[bi]
             m = blk["m"]
-            rho = int(np.asarray(rho_dev))
+            stats = np.asarray(stats_dev)
+            rho = int(stats[0])
             rho_pad = min(MD._pow2_pad(rho), m)
-            ell = MD._lift_and_fill(hist, f1, j, ai_all, bi_all, sa, isa,
-                                    k_star, m, rho_pad)
+            ell = MD._lift_orchestrated(hist, pack8, ai_all, bi_all,
+                                        lv_all, isa, stats, m, rho_pad)
             n_t = jnp.int32(n)
             pred_pos, succ_pos, a, b = MD._neighbors(sa, ell, n_t, m)
             pos, length, smaller, rsa, risa = MD._assemble(

@@ -64,11 +64,12 @@ def _wave_program(mesh, x_u8, sx_blocks, len_blk, emit_len, sep_base,
         em = emit_len[0]
         j, b, sp = MD._build_joint_device(
             x_u8, sx_blk[0], n, ln, scale, sep_base[0], n_pad, bs_pad)
-        sa, isa, hist, f1, k_star = MD._joint_sa(j, b, sp, m)
-        rho, ai_all, bi_all = MD._irreducible_slots(j, sa, isa, n, ln,
-                                                    m, n_pad)
-        ell = MD._lift_and_fill(hist, f1, j, ai_all, bi_all, sa, isa,
-                                k_star, m, rho_cap)
+        sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(j, b, sp, m)
+        stats, ai_all, bi_all, lv_all = MD._irreducible_slots(
+            j, sa, isa, split_lv, n, ln, m, n_pad)
+        rho = stats[0]
+        ell = MD._lift_and_fill(hist, pack8, ai_all, bi_all, lv_all, isa,
+                                m, rho_cap)
         pred_pos, succ_pos, a, bnb = MD._neighbors(sa, ell, n, m)
         pos, length, smaller, _, _ = MD._assemble(
             sa, pred_pos, succ_pos, a, bnb, n, ln, m, n_pad, bs_pad)
@@ -252,7 +253,7 @@ def _export_ref_index(x_aug, n_pad):
         jnp.asarray(x_u8), jnp.zeros(bs_pad, jnp.uint8), jnp.int32(n),
         jnp.int32(0), jnp.int32(1), jnp.int32(0), n_pad, bs_pad)
     m = n_pad + bs_pad
-    sa, isa, hist, f1, k_star = MD._joint_sa(j, b, sp, m)
+    sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(j, b, sp, m)
     ell0 = jnp.zeros(m, jnp.int32)
     pred, succ, a, bb = MD._neighbors(sa, ell0, jnp.int32(n), m)
     _, _, _, ref_sa, ref_isa = MD._assemble(

@@ -53,27 +53,73 @@ def _joint(ref_len, docs, seed, doc_len=None, snp=0.05, sep_base=0,
 def test_seeded_equals_generic(ref_len, docs, seed, kw):
     j, b, sp = _joint(ref_len, docs, seed, **kw)
     m = int(j.shape[0])
-    sa_new, isa_new, hist, f1, ks_new = MD._joint_sa(j, b, sp, m)
+    sa_new, isa_new, hist, pack8, ks_new, split_lv = MD._joint_sa(
+        j, b, sp, m)
     sa_old, isa_old, _, _ = suffix_array_device(j, m)
     np.testing.assert_array_equal(np.asarray(sa_new), np.asarray(sa_old))
     np.testing.assert_array_equal(np.asarray(isa_new), np.asarray(isa_old))
 
 
+def _brute_adjacent_lcp(jn, sa, r):
+    x, y = jn[sa[r]:], jn[sa[r - 1]:]
+    k = 0
+    while k < len(x) and k < len(y) and x[k] == y[k]:
+        k += 1
+    return k
+
+
+@pytest.mark.parametrize("seed,snp", [(0, 0.02), (1, 0.0), (2, 0.1)])
+def test_split_levels_bound_adjacent_lcp(seed, snp):
+    """split_lv[r] = L implies lcp(sa[r-1], sa[r]) in [2^(L-1), 2^L)
+    (L == 3 only bounds it to < 8)."""
+    j, b, sp = _joint(200, 3, 50 + seed, snp=snp)
+    m = int(j.shape[0])
+    sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(j, b, sp, m)
+    jn, san, lvn = np.asarray(j), np.asarray(sa), np.asarray(split_lv)
+    rng = np.random.default_rng(seed)
+    for r in rng.integers(1, m, size=80):
+        ell = _brute_adjacent_lcp(jn, san, r)
+        L = lvn[r]
+        assert L >= 3
+        assert ell < (1 << L), (r, ell, L)
+        if L > 3:
+            assert ell >= (1 << (L - 1)), (r, ell, L)
+
+
 @pytest.mark.parametrize("seed", range(4))
 def test_lift_pairs_matches_brute_lcp(seed):
+    """The per-pair-level lift reproduces the exact adjacent LCP."""
     j, b, sp = _joint(150, 3, 100 + seed, snp=0.02)
     m = int(j.shape[0])
-    sa, isa, hist, f1, k_star = MD._joint_sa(j, b, sp, m)
-    jn = np.asarray(j)
+    sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(j, b, sp, m)
+    jn, san = np.asarray(j), np.asarray(sa)
     rng = np.random.default_rng(seed)
-    ai = rng.integers(0, m, size=64).astype(np.int32)
-    bi = rng.integers(0, m, size=64).astype(np.int32)
+    rs = rng.integers(1, m, size=64)
+    ai = san[rs].astype(np.int32)
+    bi = san[rs - 1].astype(np.int32)
+    lv = np.asarray(split_lv)[rs].astype(np.int32)
     from cmsbwt_tpu.ops.joint_sa import lift_pairs
-    h = np.asarray(lift_pairs(hist, f1, j, jnp.asarray(ai), jnp.asarray(bi),
-                              k_star, m))
-    for a, bb_, got in zip(ai, bi, h):
-        x, y = jn[a:], jn[bb_:]
-        k = 0
-        while k < len(x) and k < len(y) and x[k] == y[k]:
-            k += 1
-        assert got == k, (a, bb_, got, k)
+    h = np.asarray(lift_pairs(hist, pack8, jnp.asarray(ai),
+                              jnp.asarray(bi), jnp.asarray(lv), m))
+    for r, a, bb_, got in zip(rs, ai, bi, h):
+        k = _brute_adjacent_lcp(jn, san, r)
+        assert got == k, (r, a, bb_, got, k)
+
+
+@pytest.mark.parametrize("seed,snp", [(0, 0.02), (1, 0.0)])
+def test_orchestrated_lift_equals_single_dispatch(seed, snp):
+    """The host-orchestrated per-level lift (compacted prefixes) returns
+    the same ell as the in-jit single-dispatch variant."""
+    j, b, sp = _joint(400, 4, 200 + seed, snp=snp)
+    m = int(j.shape[0])
+    sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(j, b, sp, m)
+    n = 1  # treat everything as real for this comparison
+    stats_dev, ai_all, bi_all, lv_all = MD._irreducible_slots(
+        j, sa, isa, split_lv, jnp.int32(m), jnp.int32(0), m, m)
+    stats = np.asarray(stats_dev)
+    rho_pad = min(MD._pow2_pad(int(stats[0])), m)
+    ell_1 = np.asarray(MD._lift_and_fill(
+        hist, pack8, ai_all, bi_all, lv_all, isa, m, rho_pad))
+    ell_o = np.asarray(MD._lift_orchestrated(
+        hist, pack8, ai_all, bi_all, lv_all, isa, stats, m, rho_pad))
+    np.testing.assert_array_equal(ell_o, ell_1)
