@@ -368,8 +368,9 @@ def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
         srcidx = jnp.concatenate([cidx, pidx])
         pay_slot = jnp.concatenate([slot_base[:h_pad],
                                     jnp.zeros(p_pad, jnp.int32)])
-        k1s, k2s, f_s, i_s, slot_s = jax.lax.sort(
-            (key1, key2, flag, srcidx, pay_slot), num_keys=3)
+        pay_size = jnp.concatenate([jnp.zeros(h_pad, jnp.int32), q_size])
+        k1s, k2s, f_s, i_s, slot_s, size_s = jax.lax.sort(
+            (key1, key2, flag, srcidx, pay_slot, pay_size), num_keys=3)
     # Propagate the nearest-at-or-after target's attributes to each query
     # row by packed (row << 31 | payload) reverse cummins — the row is the
     # high field so the nearest target wins and each fill carries one
@@ -400,43 +401,41 @@ def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
              jnp.ones(1, dtype=bool)])
     run_end = _rev_fill_min(jnp.where(change_next, rowsi, jnp.int32(jn_pad)))
     is_q = f_s == 0
+    # pad rows (class and query alike) carry k1 == INT_MAX and never pass
     in_range_s = is_q & (f_pos == k1s) & (k1s < INT_MAX)
     exact_s = in_range_s & (t_row <= run_end)
-    flags_s = jnp.where(exact_s, 2, 0) + jnp.where(in_range_s, 1, 0)
-    # route back to pair order
-    qkey = jnp.where(is_q, i_s, INT_MAX)
-    _, flags, f_slot, f_cls = jax.lax.sort(
-        (qkey, flags_s, f_slot, f_cls), num_keys=1)
-    flags = flags[:p_pad]
-    f_slot = f_slot[:p_pad]
-    found = f_cls[:p_pad]
-    exact = pvalid & (flags >= 2)
-    good = pvalid & (flags == 1)
+    good_s = in_range_s & ~exact_s
+    # credit the good path straight from sorted order — no route-back sort
     counter = jnp.zeros(h_pad + 2, jnp.int32).at[
-        jnp.where(good, f_slot, h_pad + 1)].add(
-        q_size, mode="drop")
-    n_exact = jnp.sum(exact.astype(jnp.int32))
+        jnp.where(good_s, f_slot, h_pad + 1)].add(
+        size_s, mode="drop")
+    n_exact = jnp.sum(exact_s.astype(jnp.int32)).astype(jnp.int32)
     with jax.enable_x64(True):
-        exact_members = jnp.sum(jnp.where(exact, q_size, 0)
+        exact_members = jnp.sum(jnp.where(exact_s, size_s, 0)
                                 .astype(jnp.int64))
-    # compact exact pairs: (src class, found class, bucket idx)
-    ekey = jnp.where(exact, pidx, INT_MAX)
-    _, e_src, e_fnd, e_bidx = jax.lax.sort(
-        (ekey, src_cls, found, jnp.clip(b_idx, 0, h_pad - 1)), num_keys=1)
-    return counter, n_exact, exact_members, e_src, e_fnd, e_bidx
+    # compact exact pairs as (pair idx, found class); the exact path later
+    # recovers src class / bucket idx with e_pad-sized (tiny) gathers
+    ekey = jnp.where(exact_s, i_s, INT_MAX)
+    _, e_pidx, e_fnd = jax.lax.sort((ekey, i_s, f_cls), num_keys=1)
+    return (counter, n_exact, exact_members, e_pidx[:p_pad],
+            e_fnd[:p_pad], src_cls)
 
 
 @functools.partial(jax.jit, static_argnames=("h_pad", "e_pad", "em_pad"))
 def tail_exact_dev(cls, pairs, slot_base, member_rank_sorted, cls_of_slot,
-                   e_src, e_fnd, e_bidx, n_exact, h,
+                   e_pidx, e_fnd, src_cls, n_exact, h,
                    h_pad: int, e_pad: int, em_pad: int):
     """Exact-key (counterBad) path: member-wise sorted-list merge
-    (ref :1567-1589) as one upper_bound join over the global slot array."""
+    (ref :1567-1589) as one upper_bound join over the global slot array.
+
+    ``e_pidx``/``e_fnd`` are the compacted exact pairs (pair index, found
+    class); src class and bucket idx come from e_pad-sized gathers into
+    the per-pair arrays — tiny relative to the member join."""
     eidx = jnp.arange(e_pad, dtype=jnp.int32)
     evalid = eidx < n_exact
-    e_src = e_src[:e_pad]
+    ep = jnp.clip(e_pidx[:e_pad], 0, src_cls.shape[0] - 1)
+    e_src = src_cls[ep]
     e_fnd = e_fnd[:e_pad]
-    e_bidx = e_bidx[:e_pad]
     msz = jnp.where(evalid, cls["size"][e_src], 0)
     off = jnp.cumsum(msz) - msz
     midx = jnp.arange(em_pad, dtype=jnp.int32)
@@ -530,101 +529,101 @@ def runs_emit_dev(cls, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
                          else jnp.minimum(ncls_at, 1)) - \
         jnp.minimum(ncls_at, 1)
     ridx = jnp.arange(n_pad, dtype=jnp.int32)
+    # run-slot offsets and emitted-char prefix sums are both bounded by the
+    # int32 regime (total runs <= sn + n + 2h, output chars == sn < 2^31),
+    # so the lane sort runs on int32 keys
+    rank_valid = (ridx >= 1) & (ridx < n)
+    runs_per_rank = jnp.where(rank_valid, 1 + extra, 0)
+    offsets = (jnp.cumsum(runs_per_rank) - runs_per_rank) + (d - 1)
+
+    # --- lane sources (offset, len, char) ---
+    # A: prelude BWTheads[0..D-2] (ref :946)
+    a_off = cidx
+    a_len = jnp.where(cidx < d - 1, 1, 0)
+    a_chr = bwt_heads[jnp.clip(cidx, 0, h_pad - 1)].astype(jnp.int32)
+    # B: simple buckets — one tails run each
+    simple = rank_valid & (extra == 0)
+    sa_r = jnp.clip(ref_sa, 0, n_pad - 1)
+    b_off = offsets
+    b_len = jnp.where(simple, tails_cnt[sa_r], 0)
+    b_chr = ref_bwt.astype(jnp.int32)
+    # class-level geometry (identical to runs layout in engine/merge.py)
+    bchar = ref_bwt[jnp.clip(bucket_rank, 0, n_pad - 1)] \
+        .astype(jnp.int32)
+    first_of_b = jnp.zeros(h_pad, jnp.int32).at[
+        jnp.where(new_b, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].set(
+        cidx, mode="drop")
+    k_c = cidx - first_of_b[jnp.clip(bid, 0, h_pad - 1)]
+    ex_mc = jnp.cumsum(m_c) - m_c
+    mc_first = jnp.zeros(h_pad, jnp.int32).at[
+        jnp.where(new_b, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].set(
+        ex_mc, mode="drop")
+    mc_before = ex_mc - mc_first[jnp.clip(bid, 0, h_pad - 1)]
+    cls_start = offsets[jnp.clip(bucket_rank, 0, n_pad - 1)] + \
+        2 * mc_before + (k_c if rle_quirk else 0)
+    # C/D: per member slot — tails run + the head's own char
+    midx = jnp.arange(h_pad, dtype=jnp.int32)
+    tot_slots = jnp.sum(m_c)
+    mvalid = midx < tot_slots
+    base_c = slot_base[ecls]
+    cstart = jnp.zeros(h_pad, jnp.int32).at[
+        jnp.where(evalid & (m_c > 0), ex_mc, h_pad)].max(
+        cidx + 1, mode="drop")
+    cls_of = jnp.clip(jax.lax.cummax(cstart) - 1, 0, h_pad - 1)
+    within = midx - ex_mc[cls_of]
+    slot_text = jnp.clip(base_c[cls_of] + within, 0, h_pad - 1)
+    rt = cls_start[cls_of] + 2 * within
+    cnt_slot = counter[slot_text]
+    c_off = rt
+    c_len = jnp.where(mvalid, cnt_slot, 0)
+    c_chr = bchar[cls_of]
+    d_off = rt + 1
+    d_len = jnp.where(mvalid, 1, 0)
+    d_chr = bwt_heads[jnp.clip(d - 1 + midx, 0, h_pad - 1)] \
+        .astype(jnp.int32)
+    # E: residuals — per class (quirk) / per last class of bucket
+    ccnt = jnp.cumsum(jnp.where(mvalid, cnt_slot, 0))
+    csum_hi = ccnt[jnp.clip(ex_mc + m_c - 1, 0, h_pad - 1)]
+    csum_lo = jnp.where(ex_mc > 0,
+                        ccnt[jnp.clip(ex_mc - 1, 0, h_pad - 1)], 0)
+    csum_c = jnp.where(evalid & (m_c > 0), csum_hi - csum_lo, 0)
+    inc = csum_c + m_c
+    cum_inc = jnp.cumsum(inc)
+    cum_exc_first = jnp.zeros(h_pad, jnp.int32).at[
+        jnp.where(new_b, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].set(
+        cum_inc - inc, mode="drop")
+    cum_inc_b = cum_inc - cum_exc_first[jnp.clip(bid, 0, h_pad - 1)]
+    hb_b = jnp.zeros(h_pad, jnp.int32).at[
+        jnp.where(evalid, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].add(
+        m_c, mode="drop")
+    b_total = hb_b[jnp.clip(bid, 0, h_pad - 1)] + tails_cnt[
+        jnp.clip(ref_sa[jnp.clip(bucket_rank, 0, n_pad - 1)], 0,
+                 n_pad - 1)]
+    if rle_quirk:
+        e_valid = evalid
+        e_off = cls_start + 2 * m_c
+    else:
+        # new_b is masked False beyond the valid classes, so the
+        # shifted flag misses the final class — or it in explicitly
+        is_last_of_b = jnp.concatenate(
+            [new_b[1:], jnp.ones(1, dtype=bool)]) | (cidx + 1 == nec)
+        e_valid = evalid & is_last_of_b
+        hb_c = hb_b[jnp.clip(bid, 0, h_pad - 1)]
+        e_off = offsets[jnp.clip(bucket_rank, 0, n_pad - 1)] + 2 * hb_c
+    e_len = jnp.where(e_valid, b_total - cum_inc_b, 0)
+    e_chr = bchar
+
+    off = jnp.concatenate([a_off, b_off, c_off, d_off, e_off])
+    lens = jnp.concatenate([a_len, b_len, c_len, d_len, e_len])
+    chars = jnp.concatenate([a_chr, b_chr, c_chr, d_chr, e_chr])
+    # run offsets are distinct by construction; zero-length and invalid
+    # lanes sort to the tail and drop out
+    key = jnp.where(lens > 0, off, INT_MAX)
+    k_s, len_s, chr_s = jax.lax.sort((key, lens, chars), num_keys=1)
+    L = off.shape[0]
+    rowi = jnp.arange(L, dtype=jnp.int32)
+    valid_s = (k_s < INT_MAX) & (len_s > 0)
     with jax.enable_x64(True):
-        rank_valid = (ridx >= 1) & (ridx < n)
-        runs_per_rank = jnp.where(rank_valid, 1 + extra, 0)
-        offsets = (jnp.cumsum(runs_per_rank.astype(jnp.int64))
-                   - runs_per_rank) + (d - 1).astype(jnp.int64)
-        I64B = jnp.int64((1 << 62) - 1)
-
-        # --- lane sources (offset, len, char) ---
-        # A: prelude BWTheads[0..D-2] (ref :946)
-        a_off = cidx.astype(jnp.int64)
-        a_len = jnp.where(cidx < d - 1, 1, 0)
-        a_chr = bwt_heads[jnp.clip(cidx, 0, h_pad - 1)].astype(jnp.int32)
-        # B: simple buckets — one tails run each
-        simple = rank_valid & (extra == 0)
-        sa_r = jnp.clip(ref_sa, 0, n_pad - 1)
-        b_off = offsets
-        b_len = jnp.where(simple, tails_cnt[sa_r], 0)
-        b_chr = ref_bwt.astype(jnp.int32)
-        # class-level geometry (identical to runs layout in engine/merge.py)
-        bchar = ref_bwt[jnp.clip(bucket_rank, 0, n_pad - 1)] \
-            .astype(jnp.int32)
-        first_of_b = jnp.zeros(h_pad, jnp.int32).at[
-            jnp.where(new_b, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].set(
-            cidx, mode="drop")
-        k_c = cidx - first_of_b[jnp.clip(bid, 0, h_pad - 1)]
-        ex_mc = jnp.cumsum(m_c) - m_c
-        mc_first = jnp.zeros(h_pad, jnp.int64).at[
-            jnp.where(new_b, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].set(
-            ex_mc.astype(jnp.int64), mode="drop")
-        mc_before = ex_mc.astype(jnp.int64) - mc_first[
-            jnp.clip(bid, 0, h_pad - 1)]
-        cls_start = offsets[jnp.clip(bucket_rank, 0, n_pad - 1)] + \
-            2 * mc_before + (k_c.astype(jnp.int64) if rle_quirk else 0)
-        # C/D: per member slot — tails run + the head's own char
-        midx = jnp.arange(h_pad, dtype=jnp.int32)
-        tot_slots = jnp.sum(m_c)
-        mvalid = midx < tot_slots
-        base_c = slot_base[ecls]
-        cstart = jnp.zeros(h_pad, jnp.int32).at[
-            jnp.where(evalid & (m_c > 0), ex_mc, h_pad)].max(
-            cidx + 1, mode="drop")
-        cls_of = jnp.clip(jax.lax.cummax(cstart) - 1, 0, h_pad - 1)
-        within = midx - ex_mc[cls_of]
-        slot_text = jnp.clip(base_c[cls_of] + within, 0, h_pad - 1)
-        rt = cls_start[cls_of] + 2 * within.astype(jnp.int64)
-        cnt_slot = counter[slot_text]
-        c_off = rt
-        c_len = jnp.where(mvalid, cnt_slot, 0)
-        c_chr = bchar[cls_of]
-        d_off = rt + 1
-        d_len = jnp.where(mvalid, 1, 0)
-        d_chr = bwt_heads[jnp.clip(d - 1 + midx, 0, h_pad - 1)] \
-            .astype(jnp.int32)
-        # E: residuals — per class (quirk) / per last class of bucket
-        ccnt = jnp.cumsum(jnp.where(mvalid, cnt_slot, 0).astype(jnp.int64))
-        csum_hi = ccnt[jnp.clip(ex_mc + m_c - 1, 0, h_pad - 1)]
-        csum_lo = jnp.where(ex_mc > 0,
-                            ccnt[jnp.clip(ex_mc - 1, 0, h_pad - 1)], 0)
-        csum_c = jnp.where(evalid & (m_c > 0), csum_hi - csum_lo, 0)
-        inc = csum_c + m_c.astype(jnp.int64)
-        cum_inc = jnp.cumsum(inc)
-        cum_exc_first = jnp.zeros(h_pad, jnp.int64).at[
-            jnp.where(new_b, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].set(
-            cum_inc - inc, mode="drop")
-        cum_inc_b = cum_inc - cum_exc_first[jnp.clip(bid, 0, h_pad - 1)]
-        hb_b = jnp.zeros(h_pad, jnp.int64).at[
-            jnp.where(evalid, jnp.clip(bid, 0, h_pad - 1), h_pad - 1)].add(
-            m_c.astype(jnp.int64), mode="drop")
-        b_total = hb_b[jnp.clip(bid, 0, h_pad - 1)] + tails_cnt[
-            jnp.clip(ref_sa[jnp.clip(bucket_rank, 0, n_pad - 1)], 0,
-                     n_pad - 1)].astype(jnp.int64)
-        if rle_quirk:
-            e_valid = evalid
-            e_off = cls_start + 2 * m_c.astype(jnp.int64)
-        else:
-            # new_b is masked False beyond the valid classes, so the
-            # shifted flag misses the final class — or it in explicitly
-            is_last_of_b = jnp.concatenate(
-                [new_b[1:], jnp.ones(1, dtype=bool)]) | (cidx + 1 == nec)
-            e_valid = evalid & is_last_of_b
-            hb_c = hb_b[jnp.clip(bid, 0, h_pad - 1)]
-            e_off = offsets[jnp.clip(bucket_rank, 0, n_pad - 1)] + 2 * hb_c
-        e_len = jnp.where(e_valid, b_total - cum_inc_b, 0).astype(jnp.int32)
-        e_chr = bchar
-
-        off = jnp.concatenate([a_off, b_off, c_off, d_off, e_off])
-        lens = jnp.concatenate([a_len, b_len, c_len, d_len, e_len])
-        chars = jnp.concatenate([a_chr, b_chr, c_chr, d_chr, e_chr])
-        # run offsets are distinct by construction; zero-length and invalid
-        # lanes sort to the tail and drop out
-        key = jnp.where(lens > 0, off, I64B)
-        k_s, len_s, chr_s = jax.lax.sort((key, lens, chars), num_keys=1)
-        L = off.shape[0]
-        rowi = jnp.arange(L, dtype=jnp.int32)
-        valid_s = k_s < I64B
         prv_chr = jnp.concatenate([jnp.full(1, -1, jnp.int32), chr_s[:-1]])
         prv_valid = jnp.concatenate([jnp.zeros(1, bool), valid_s[:-1]])
         nxt_chr = jnp.concatenate([chr_s[1:], jnp.full(1, -1, jnp.int32)])
@@ -639,7 +638,7 @@ def runs_emit_dev(cls, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
             new_g, (rowi.astype(jnp.int64) << 32) | exc, jnp.int64(-1))
         fe = jax.lax.cummax(packedg) & ((jnp.int64(1) << 32) - 1)
         lenm = jnp.where(is_last, cum - fe, 0).astype(jnp.int32)
-        n_groups = jnp.sum(is_last.astype(jnp.int32))
+        n_groups = jnp.sum(is_last.astype(jnp.int32)).astype(jnp.int32)
         maxlen = jnp.max(lenm)
         key2 = jnp.where(is_last, rowi, INT_MAX)
         _, rl, rc = jax.lax.sort((key2, lenm, chr_s), num_keys=1)
@@ -670,11 +669,13 @@ def _slice_runs(packed, rl, rc, r_cut: int):
 
 def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
                  ref_sa, ref_isa, ref_bwt, h: int, n: int, sn: int, d: int,
-                 rle_quirk: bool):
+                 rle_quirk: bool, want_counter: bool = True):
     """Full downstream merge on device; returns (run_len, run_char) numpy.
 
     Inputs are device arrays: heads padded to h_pad (valid prefix h, stream
-    order), reference index padded to n_pad.
+    order), reference index padded to n_pad. ``want_counter`` gates the
+    counter download (an O(h) transfer) — the pipeline only needs it for
+    the small-path debug artifact (ref :919-924).
     """
     from ..ops.ms_dense import _stage_timer
     mark = _stage_timer()
@@ -705,7 +706,7 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
     total_pairs = int(np.asarray(pairs["total"]))
     mark("tail_pairs_count(P=%d)" % total_pairs)
     p_pad = _pow2_pad(total_pairs + 1, 0)
-    counter, n_exact_d, exact_members_d, e_src, e_fnd, e_bidx = \
+    counter, n_exact_d, exact_members_d, e_pidx, e_fnd, src_cls = \
         tail_good_dev(cls, pairs, slot_base, h_t, n_t, h_pad, p_pad)
     n_exact = int(np.asarray(n_exact_d))
     exact_members = int(np.asarray(exact_members_d))
@@ -715,7 +716,7 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
         em_pad = _pow2_pad(exact_members, 0)
         counter = counter + tail_exact_dev(
             cls, pairs, slot_base, member_rank_sorted, cls_of_slot,
-            e_src, e_fnd, e_bidx, jnp.int32(n_exact), h_t,
+            e_pidx, e_fnd, src_cls, jnp.int32(n_exact), h_t,
             h_pad, e_pad, em_pad)
         mark("tail_exact", counter)
 
@@ -736,11 +737,13 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
     mark("runs_download")
     # counterSmallerThanHead, slot-indexed (debug artifact parity,
     # ref :919-924); host layout is int64[h+1]
-    counter_np = np.asarray(counter)[: h + 1].astype(np.int64)
+    counter_np = (np.asarray(counter)[: h + 1].astype(np.int64)
+                  if want_counter else None)
     return rl, rc, counter_np
 
 
-def merge_heads_device_resident(dres, d: int, rle_quirk: bool):
+def merge_heads_device_resident(dres, d: int, rle_quirk: bool,
+                                want_counter: bool = True):
     """Merge a DeviceHeadsResult (ops/ms_dense.ms_dense_heads_on_device)
     without any host round-trip: the head records and reference index are
     already device arrays in merge layout (zero pads)."""
@@ -749,12 +752,12 @@ def merge_heads_device_resident(dres, d: int, rle_quirk: bool):
     return merge_device(
         dres.head_t, dres.head_pos, dres.head_len, dres.head_smaller,
         dres.head_char, dres.ref_sa, dres.ref_isa, dres.ref_bwt,
-        dres.h, dres.n, dres.sn, d, rle_quirk)
+        dres.h, dres.n, dres.sn, d, rle_quirk, want_counter=want_counter)
 
 
 def merge_heads_numpy(head_t, head_pos, head_len, head_smaller, head_char,
                       ref_sa, ref_isa, ref_bwt, h: int, n: int, sn: int,
-                      d: int, rle_quirk: bool):
+                      d: int, rle_quirk: bool, want_counter: bool = True):
     """Pad + upload numpy head records / reference index and run the device
     merge (the adapter the pipeline uses for DenseHeadsResult inputs).
 
@@ -785,5 +788,5 @@ def merge_heads_numpy(head_t, head_pos, head_len, head_smaller, head_char,
         pad(ref_sa, n_pad, np.int32),
         pad(ref_isa, n_pad, np.int32),
         pad(ref_bwt, n_pad, np.uint8),
-        h, n, sn, d, rle_quirk)
+        h, n, sn, d, rle_quirk, want_counter=want_counter)
     return res

@@ -171,7 +171,8 @@ def compute_bwt(cfg: Config) -> dict:
             with timer.phase("merge_device"):
                 from .device_merge import merge_heads_device_resident
                 run_len, run_char, counter = merge_heads_device_resident(
-                    ddres, coll.d, rq)
+                    ddres, coll.d, rq,
+                    want_counter=len(x_aug) < cfg.small_ref_threshold)
             index = ReferenceIndex(
                 x=x_aug, x_padded=np.concatenate(
                     [x_aug, np.zeros(1, np.uint8)]),
@@ -224,8 +225,9 @@ def compute_bwt(cfg: Config) -> dict:
         index, heads = dense_result_to_inputs(x_aug, dres)
         rq = cfg.rle and cfg.replicate_reference_rle_quirk
         if _resolve_merge_backend(cfg.merge_backend) == "device":
-            result = merge_from_heads_device(x_aug, dres, coll.d, coll.sn,
-                                             rq, timer)
+            result = merge_from_heads_device(
+                x_aug, dres, coll.d, coll.sn, rq, timer,
+                want_counter=len(x_aug) < cfg.small_ref_threshold)
         else:
             result = merge_from_heads(index, heads, coll.d, coll.sn,
                                       rle_quirk=rq, timer=timer,
@@ -240,8 +242,8 @@ def compute_bwt(cfg: Config) -> dict:
 
 def merge_from_heads_device(x_aug: np.ndarray, dres, d: int, sn: int,
                             rle_quirk: bool,
-                            timer: PhaseTimer | None = None
-                            ) -> PipelineResult:
+                            timer: PhaseTimer | None = None,
+                            want_counter: bool = True) -> PipelineResult:
     """Downstream merge on the accelerator (engine/device_merge.py): head
     fixup, grouping, ranking, tail positioning, and run assembly run as
     device sorted joins; only the O(n + H) run list reaches the host."""
@@ -251,7 +253,8 @@ def merge_from_heads_device(x_aug: np.ndarray, dres, d: int, sn: int,
         run_len, run_char, counter = merge_heads_numpy(
             dres.head_t, dres.head_pos, dres.head_len, dres.head_smaller,
             dres.head_char, dres.ref_sa, dres.ref_isa, dres.ref_bwt,
-            dres.h, len(x_aug), sn, d, rle_quirk)
+            dres.h, len(x_aug), sn, d, rle_quirk,
+            want_counter=want_counter)
     return PipelineResult(run_len=run_len, run_char=run_char, d=d, sn=sn,
                           h=dres.h, counter=counter)
 

@@ -124,11 +124,16 @@ def _irreducible_slots(j, sa, isa, split_lv, n, sn, m: int, n_pad: int):
         lvc = jnp.clip(split_lv, 0, LV_BINS - 2)
         key = jnp.where(irr, ((LV_BINS - lvc.astype(jnp.int64)) << 32)
                         | r.astype(jnp.int64), jnp.int64(1) << 62)
-        _, ai, bi, lvp = jax.lax.sort((key, sa, sa_prev, split_lv),
-                                      num_keys=1)
-    hist_lv = jnp.zeros(LV_BINS, jnp.int32).at[
-        jnp.where(irr, lvc, LV_BINS - 1)].add(
-        jnp.where(irr, 1, 0), mode="drop")
+        key_s, ai, bi = jax.lax.sort((key, sa, sa_prev), num_keys=1)
+        # recover the level from the sorted key (one payload saved) and the
+        # level histogram by searchsorted over the sorted high field — a
+        # colliding scatter-add histogram serializes at gather speed
+        lvp = jnp.where(key_s < (jnp.int64(1) << 62),
+                        LV_BINS - (key_s >> 32).astype(jnp.int32), 0)
+        bounds = ((LV_BINS - jnp.arange(LV_BINS, dtype=jnp.int64)) << 32)
+        starts = jnp.searchsorted(key_s, bounds)
+        ends = jnp.searchsorted(key_s, bounds + (jnp.int64(1) << 32))
+        hist_lv = (ends - starts).astype(jnp.int32)
     stats = jnp.concatenate([rho[None], hist_lv])
     return stats, ai, bi, lvp
 
