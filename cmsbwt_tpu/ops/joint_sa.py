@@ -42,6 +42,7 @@ import jax.numpy as jnp
 from ..index.device import n_levels
 
 SEED_LEVEL = 3  # the seed sort resolves windows of 2^3 = 8 bytes
+INT32_MAX = 2**31 - 1
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
@@ -56,12 +57,17 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
 
     Returns (sa, isa, hist, pack8, k_star, split_lv):
 
-    * ``hist[r]`` is the dense rank of windows of 2^(r+3);
+    * ``hist[r]`` is the rank of windows of 2^(r+3). Ranks are
+      POSITION-ranks (the global start position of the element's rank
+      group) rather than dense ids — order-equivalent for every
+      comparison, and the group start position doubles as the group's
+      identity, which is what lets late rounds refine a compacted slice
+      without renumbering the world;
     * ``pack8`` (int64[m], TEXT order) is the seed's masked 8-byte window
       pack — the sub-8 LCP oracle consumed by the byte-compare tail of the
       lifts (replaces the old f1 fingerprint levels);
     * ``k_star`` is the first level with fully distinct ranks (max
-      pairwise lcp < 2^k_star);
+      pairwise lcp < 2^k_star) == max(split_lv);
     * ``split_lv`` (int32[m], SA order) records, per SA position r >= 1,
       the level at which the boundary between sa[r-1] and sa[r] first
       appeared. Rank groups occupy POSITION-STABLE ranges under
@@ -70,9 +76,17 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
       ``lcp(sa[r-1], sa[r]) in [2^(L-1), 2^L)`` for L = split_lv[r] > 3
       (L == 3 only bounds the lcp to < 8). This is what lets the lift
       start each pair at its own top level instead of at k_star.
+
+    Late rounds run COMPACTED: once the number of unresolved elements
+    drops to u <= m/16, a round extracts the non-singleton groups with
+    one 2-operand sort and refines only that slice (the long tail of
+    deep ties — a handful of giant repeats — no longer costs full-array
+    sort passes per round). Everything stays inside this one jit: the
+    branch is a lax.switch, shapes are static.
     """
     levels = n_levels(m)
     idx = jnp.arange(m, dtype=jnp.int32)
+    U = min(m, max(64, m // 16))  # compacted-round capacity (static)
 
     with jax.enable_x64(True):
         # --- first special (separator/pad) at-or-after each position ---
@@ -100,13 +114,17 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
         key = jax.lax.bitcast_convert_type(
             p8 ^ jnp.uint64(1 << 63), jnp.int64)  # order-preserving u64->i64
         k_s, v_s, ord_s = jax.lax.sort((key, v, idx), num_keys=2)
-        changed = jnp.concatenate(
-            [jnp.ones(1, jnp.int32),
-             ((k_s[1:] != k_s[:-1]) | (v_s[1:] != v_s[:-1])
-              ).astype(jnp.int32)])
-    split_lv = jnp.where(changed == 1, jnp.int32(SEED_LEVEL), 0)
-    seed_sorted = jnp.cumsum(changed).astype(jnp.int32) - 1
-    _, rank = jax.lax.sort((ord_s, seed_sorted), num_keys=1)
+        ch_b = jnp.concatenate(
+            [jnp.ones(1, bool),
+             (k_s[1:] != k_s[:-1]) | (v_s[1:] != v_s[:-1])])
+    split_lv = jnp.where(ch_b, jnp.int32(SEED_LEVEL), 0)
+    # position-ranks + per-element resolved flag (singleton group)
+    seed_rank_s = jax.lax.cummax(jnp.where(ch_b, idx, -1))
+    sing_s = ch_b & jnp.concatenate([ch_b[1:], jnp.ones(1, bool)])
+    _, rank, resolved = jax.lax.sort(
+        (ord_s, seed_rank_s, sing_s.astype(jnp.int32)), num_keys=1)
+    resolved = resolved != 0
+    u0 = (m - jnp.sum(sing_s.astype(jnp.int32))).astype(jnp.int32)
 
     # quadrupling rounds: each sort refines by TWO doubling levels at once
     # — keys (rank, rank@+w) and (rank@+2w, rank@+3w) packed into two int64
@@ -126,11 +144,11 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
         return jax.lax.dynamic_slice(padded, (shift,), (m,))
 
     def round_k(carry, k):
-        rank, sa, hist, done, k_star, lv = carry
+        rank, sa, hist, lv, resolved, u, comp_ran = carry
         w = jnp.int32(1) << k
 
-        def do_sort(args):
-            rank, sa, lv = args
+        def do_full(args):
+            rank, sa, lv, resolved = args
             r1 = shifted(rank, w)
             r2 = shifted(rank, 2 * w)
             r3 = shifted(rank, 3 * w)
@@ -149,40 +167,106 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
             # ranges are position-stable, so sorted coords == final coords)
             lv = jnp.where(ch_mid_b & (lv == 0), k + 1, lv)
             lv = jnp.where(ch_full_b & (lv == 0), k + 2, lv)
-            mid_sorted = jnp.cumsum(ch_mid_b.astype(jnp.int32)) - 1
-            full_sorted = jnp.cumsum(ch_full_b.astype(jnp.int32)) - 1
-            _, mid_rank, full_rank = jax.lax.sort(
-                (o_s, mid_sorted, full_sorted), num_keys=1)
-            return mid_rank, full_rank, o_s, lv
+            mid_sorted = jax.lax.cummax(jnp.where(ch_mid_b, idx, -1))
+            full_sorted = jax.lax.cummax(jnp.where(ch_full_b, idx, -1))
+            sing = ch_full_b & jnp.concatenate(
+                [ch_full_b[1:], jnp.ones(1, bool)])
+            _, mid_rank, full_rank, res = jax.lax.sort(
+                (o_s, mid_sorted, full_sorted, sing.astype(jnp.int32)),
+                num_keys=1)
+            u_new = (m - jnp.sum(sing.astype(jnp.int32))).astype(jnp.int32)
+            return (mid_rank, full_rank, o_s, lv, res != 0, u_new,
+                    jnp.zeros((), bool))
 
-        def skip(args):
-            rank, sa, lv = args
-            return rank, rank, sa, lv
+        def do_comp(args):
+            # refine ONLY the u unresolved elements: extract them grouped
+            # by current rank, sort the slice by the quad keys, renumber
+            # within groups (rank == group start position, so new rank =
+            # group rank + local offset), scatter the updates back
+            rank, sa, lv, resolved = args
+            ckey = jnp.where(resolved, INT32_MAX, rank)
+            ck_s, ti_all = jax.lax.sort((ckey, idx), num_keys=1)
+            grp = jax.lax.dynamic_slice(ck_s, (0,), (U,))
+            ti = jax.lax.dynamic_slice(ti_all, (0,), (U,))
+            live = grp < INT32_MAX
+            tic = jnp.clip(ti, 0, m - 1)
 
-        mid_rank, full_rank, sa, lv = jax.lax.cond(done, skip, do_sort,
-                                                   (rank, sa, lv))
+            def sh(off):
+                at = tic + off
+                vv = rank[jnp.clip(at, 0, m - 1)]
+                return jnp.where(live & (at < m), vv, -1)
+
+            r1, r2, r3 = sh(w), sh(2 * w), sh(3 * w)
+            urow = jnp.arange(U, dtype=jnp.int32)
+            with jax.enable_x64(True):
+                kk1 = jnp.where(live, (grp.astype(jnp.int64) << 32)
+                                | (r1.astype(jnp.int64) + 1),
+                                jnp.int64(1) << 62)
+                kk2 = ((r2.astype(jnp.int64) + 1) << 32) | \
+                    (r3.astype(jnp.int64) + 1)
+                kk1_s, kk2_s, rowsrc = jax.lax.sort((kk1, kk2, urow),
+                                                    num_keys=2)
+                g_hi = (kk1_s >> 32).astype(jnp.int32)
+                is_g = jnp.concatenate(
+                    [jnp.ones(1, bool), g_hi[1:] != g_hi[:-1]])
+                is_mid = is_g | jnp.concatenate(
+                    [jnp.ones(1, bool), kk1_s[1:] != kk1_s[:-1]])
+                is_full = is_mid | jnp.concatenate(
+                    [jnp.ones(1, bool), kk2_s[1:] != kk2_s[:-1]])
+                live_s = kk1_s < (jnp.int64(1) << 62)
+            g_row = jax.lax.cummax(jnp.where(is_g, urow, -1))
+            mid_row = jax.lax.cummax(jnp.where(is_mid, urow, -1))
+            full_row = jax.lax.cummax(jnp.where(is_full, urow, -1))
+            mid_rank_u = g_hi + (mid_row - g_row)
+            full_rank_u = g_hi + (full_row - g_row)
+            # new boundaries: subgroup starts that are not group starts;
+            # those positions were never boundaries before, so plain set
+            dump = jnp.int32(m)
+            lv = lv.at[jnp.where(live_s & is_mid & ~is_g,
+                                 mid_rank_u, dump)].set(k + 1, mode="drop")
+            lv = lv.at[jnp.where(live_s & is_full & ~is_mid,
+                                 full_rank_u, dump)].set(k + 2, mode="drop")
+            # member resolution: full-subgroup of size 1
+            sing = is_full & jnp.concatenate(
+                [is_full[1:], jnp.ones(1, bool)])
+            ti_s = ti[jnp.clip(rowsrc, 0, U - 1)]
+            at = jnp.where(live_s, ti_s, dump)
+            mid_rank_text = rank.at[at].set(mid_rank_u, mode="drop")
+            rank = rank.at[at].set(full_rank_u, mode="drop")
+            resolved = resolved.at[at].set(sing, mode="drop")
+            u_new = jnp.sum((live_s & ~sing).astype(jnp.int32)) \
+                .astype(jnp.int32)
+            return (mid_rank_text, rank, sa, lv, resolved, u_new,
+                    jnp.ones((), bool))
+
+        def do_skip(args):
+            rank, sa, lv, resolved = args
+            return (rank, rank, sa, lv, resolved, jnp.int32(0),
+                    jnp.zeros((), bool))
+
+        branch = jnp.where(u == 0, 0, jnp.where(u <= U, 2, 1))
+        mid_rank, full_rank, sa, lv, resolved, u, comp_now = jax.lax.switch(
+            branch, [do_skip, do_full, do_comp], (rank, sa, lv, resolved))
+        comp_ran = comp_ran | comp_now
         hist = hist.at[k - SEED_LEVEL + 1].set(mid_rank)
         hist = hist.at[k - SEED_LEVEL + 2].set(full_rank)
-        mid_done = jnp.max(mid_rank) == m - 1
-        full_done = jnp.max(full_rank) == m - 1
-        k_star = jnp.where(done, k_star,
-                           jnp.where(mid_done, k + 1,
-                                     jnp.where(full_done, k + 2, k_star)))
-        done = done | full_done
-        return (full_rank, sa, hist, done, k_star, lv), None
+        return (full_rank, sa, hist, lv, resolved, u, comp_ran), None
 
-    done0 = jnp.max(rank) == m - 1
     sa0 = jnp.zeros(m, jnp.int32)
-    k_star0 = jnp.where(done0, SEED_LEVEL, levels).astype(jnp.int32)
-    (rank, sa, hist, done, k_star, split_lv), _ = jax.lax.scan(
-        round_k, (rank, sa0, hist, done0, k_star0, split_lv),
+    (rank, sa, hist, split_lv, resolved, u, comp_ran), _ = jax.lax.scan(
+        round_k, (rank, sa0, hist, split_lv, resolved, u0,
+                  jnp.zeros((), bool)),
         jnp.asarray(ks, dtype=jnp.int32))
 
+    # sa: the last FULL round's order is stale wherever a compacted round
+    # refined further (and the seed-resolved case never produced one) —
+    # invert the final position-ranks in those cases
     def invert(_):
         _, s = jax.lax.sort((rank, idx), num_keys=1)
         return s
 
-    sa = jax.lax.cond(done0, invert, lambda a: a, sa)
+    sa = jax.lax.cond(comp_ran | (u0 == 0), invert, lambda a: a, sa)
+    k_star = jnp.max(split_lv)
     return sa, rank, hist, pack8, k_star, split_lv
 
 
