@@ -394,7 +394,6 @@ def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
         fp = rev_fill(k1s)          # nearest target's bucket pos + row
         f_pos = (fp & LOW31).astype(jnp.int32)
         t_row = (fp >> 31).astype(jnp.int32)
-        f_slot = (rev_fill(slot_s) & LOW31).astype(jnp.int32)
         f_cls = (rev_fill(i_s) & LOW31).astype(jnp.int32)
         change_next = jnp.concatenate(
             [(k1s[1:] != k1s[:-1]) | (k2s[1:] != k2s[:-1]),
@@ -405,10 +404,24 @@ def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
     in_range_s = is_q & (f_pos == k1s) & (k1s < INT_MAX)
     exact_s = in_range_s & (t_row <= run_end)
     good_s = in_range_s & ~exact_s
-    # credit the good path straight from sorted order — no route-back sort
+    # credit the good path straight from sorted order. All good queries
+    # crediting a target sit contiguously before that target row (same
+    # sort bucket, smaller k2), so the credit is a cumsum difference
+    # scattered at UNIQUE target rows — a colliding 11M-lane scatter-add
+    # would serialize at gather speed.
+    with jax.enable_x64(True):
+        gcum = jnp.cumsum(jnp.where(good_s, size_s, 0).astype(jnp.int64))
+        gexc = gcum - jnp.where(good_s, size_s, 0)
+        prev_t = jnp.concatenate(
+            [jnp.full(1, -1, jnp.int64),
+             jax.lax.cummax(jnp.where(f_s == 1, rows, jnp.int64(-1)))[:-1]])
+        pt = jnp.clip(prev_t, 0, jn_pad - 1).astype(jnp.int32)
+        base_cum = jnp.where(prev_t >= 0, gcum[pt], 0)
+        credit = (gcum - base_cum).astype(jnp.int32)
+    is_t = f_s == 1
     counter = jnp.zeros(h_pad + 2, jnp.int32).at[
-        jnp.where(good_s, f_slot, h_pad + 1)].add(
-        size_s, mode="drop")
+        jnp.where(is_t, slot_s, h_pad + 1)].add(
+        jnp.where(is_t, credit, 0), mode="drop")
     n_exact = jnp.sum(exact_s.astype(jnp.int32)).astype(jnp.int32)
     with jax.enable_x64(True):
         exact_members = jnp.sum(jnp.where(exact_s, size_s, 0)
@@ -642,10 +655,22 @@ def runs_emit_dev(cls, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
         maxlen = jnp.max(lenm)
         key2 = jnp.where(is_last, rowi, INT_MAX)
         _, rl, rc = jax.lax.sort((key2, lenm, chr_s), num_keys=1)
-    packed_out = (rl.astype(jnp.uint32) << jnp.uint32(8)) | \
-        rc.astype(jnp.uint32)
-    return packed_out, rl, rc.astype(jnp.uint8), jnp.stack(
-        [n_groups, maxlen])
+    # two-tier download: 2 bytes per run (len < 256), big runs spill to a
+    # compacted (index, len) overflow list — the host link runs at tens of
+    # MB/s, so run-list bytes are wall-clock
+    ridx2 = jnp.arange(rl.shape[0], dtype=jnp.int32)
+    rvalid = ridx2 < n_groups
+    big = rvalid & (rl >= 256)
+    n_big = jnp.sum(big.astype(jnp.int32)).astype(jnp.int32)
+    packed16 = jnp.where(big, 0,
+                         (rl.astype(jnp.int32) << 8)
+                         | rc.astype(jnp.int32)).astype(jnp.uint16)
+    bkey = jnp.where(big, ridx2, INT_MAX)
+    _, big_idx, big_len, big_chr = jax.lax.sort(
+        (bkey, ridx2, rl, rc), num_keys=1)
+    return (packed16, big_idx, big_len, big_chr.astype(jnp.uint8),
+            rl, rc.astype(jnp.uint8),
+            jnp.stack([n_groups, maxlen, n_big]))
 
 
 # ---------------------------------------------------------------------------
@@ -662,9 +687,14 @@ def _pow2_pad(x: int, cap: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("r_cut",))
-def _slice_runs(packed, rl, rc, r_cut: int):
-    sl = lambda a: jax.lax.dynamic_slice(a, (0,), (r_cut,))
-    return sl(packed), sl(rl), sl(rc)
+def _slice1(a, r_cut: int):
+    return jax.lax.dynamic_slice(a, (0,), (r_cut,))
+
+
+@functools.partial(jax.jit, static_argnames=("r_cut",))
+def _slice2(a, b, r_cut: int):
+    sl = lambda x: jax.lax.dynamic_slice(x, (0,), (r_cut,))
+    return sl(a), sl(b)
 
 
 def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
@@ -720,20 +750,31 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
             h_pad, e_pad, em_pad)
         mark("tail_exact", counter)
 
-    packed, rl_d, rc_d, scalars = runs_emit_dev(
+    (p16, big_idx, big_len, big_chr, rl_d, rc_d,
+     scalars) = runs_emit_dev(
         cls, sa_ord, slot_base, counter[:h_pad], tails_cnt, bwt_heads,
         ref_sa, ref_isa, ref_bwt, d_t, n_t, h_pad, n_pad, rle_quirk)
-    n_nz, maxlen = (int(v) for v in np.asarray(scalars))
-    mark("runs_emit(R=%d)" % n_nz)
-    r_cut = _pow2_pad(max(n_nz, 1), int(packed.shape[0]))
-    packed, rl_d, rc_d = _slice_runs(packed, rl_d, rc_d, r_cut)
-    if maxlen < (1 << 24):
-        p_np = np.asarray(packed)[:n_nz]
+    n_nz, maxlen, n_big = (int(v) for v in np.asarray(scalars))
+    mark("runs_emit(R=%d,big=%d)" % (n_nz, n_big))
+    r_pad_full = int(p16.shape[0])
+    r_cut = _pow2_pad(max(n_nz, 1), r_pad_full)
+    if n_big * 10 <= max(n_nz, 1) * 2:
+        # 2 bytes/run; runs with len >= 256 spill to a compacted
+        # (index, len, char) overflow list
+        p_np = np.asarray(_slice1(p16, r_cut))[:n_nz]
         rl = (p_np >> 8).astype(np.int64)
         rc = (p_np & 0xFF).astype(np.uint8)
+        if n_big:
+            b_cut = _pow2_pad(max(n_big, 1), r_pad_full)
+            bi_np, bl_np = (np.asarray(a)[:n_big] for a in
+                            _slice2(big_idx, big_len, b_cut))
+            bc_np = np.asarray(_slice1(big_chr, b_cut))[:n_big]
+            rl[bi_np] = bl_np.astype(np.int64)
+            rc[bi_np] = bc_np
     else:
-        rl = np.asarray(rl_d)[:n_nz].astype(np.int64)
-        rc = np.asarray(rc_d)[:n_nz]
+        rl_np, rc_np = _slice2(rl_d, rc_d, r_cut)
+        rl = np.asarray(rl_np)[:n_nz].astype(np.int64)
+        rc = np.asarray(rc_np)[:n_nz]
     mark("runs_download")
     # counterSmallerThanHead, slot-indexed (debug artifact parity,
     # ref :919-924); host layout is int64[h+1]
