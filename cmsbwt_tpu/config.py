@@ -43,9 +43,11 @@ class Config:
                                     # chunk size of the fallback writers
 
     # --- TPU-native knobs (no reference equivalent) ---
-    backend: str = "auto"           # "host" (numpy), "device" (jax), "auto"
-    lanes: int = 256                # parallel MS cursors per device
-    skip_window: int = 256          # vectorized PLCP-skip / memcmp window
+    backend: str = "auto"           # "host" (numpy), "device" (jax lanes),
+                                    # "dense" (joint sort), "jump"
+                                    # (head-jumping), "auto"
+    lanes: int = 4096               # parallel MS cursors per device
+    skip_window: int = 64           # vectorized memcmp window (device/jump)
     dense_block_chars: Optional[int] = None  # None = single joint sort;
                                     # else stream the collection in blocks
     dense_parallel: bool = False    # fan blocks out over all local devices

@@ -131,6 +131,29 @@ def compute_bwt(cfg: Config) -> dict:
         return _write_outputs(cfg, outname, index, result, timer)
 
     ms = None
+    if backend == "jump":
+        # head-jumping scan (ops/ms_jump): per-PHRASE device work — the
+        # low-divergence fast path. Scan result and reference index stay
+        # on device; the device merge finishes the pipeline.
+        from ..ops.ms_jump import ms_jump_heads
+        from .device_merge import merge_heads_device_resident
+        rq = cfg.rle and cfg.replicate_reference_rle_quirk
+        with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
+            jres = ms_jump_heads(x_aug, coll.sx, lanes=cfg.lanes,
+                                 window=cfg.skip_window)
+        with timer.phase("merge_device"):
+            run_len, run_char, counter = merge_heads_device_resident(
+                jres, coll.d, rq,
+                want_counter=len(x_aug) < cfg.small_ref_threshold)
+        index = ReferenceIndex(
+            x=x_aug,
+            x_padded=np.concatenate([x_aug, np.zeros(1, np.uint8)]),
+            n=len(x_aug), sa=None, isa=None, lcp=None, plcp=None,
+            bwt=None, rank_history=[])
+        result = PipelineResult(
+            run_len=run_len, run_char=run_char, d=coll.d, sn=coll.sn,
+            h=jres.h, counter=counter)
+        return _write_outputs(cfg, outname, index, result, timer)
     if backend == "device" and coll.sn > 0:
         from ..ops.ms_device import ms_scan_device
         with timer.phase("ms_scan"):
