@@ -214,11 +214,7 @@ def ms_jump_kernel(x_padded, sa, isa, plcp, jump, gmax, sx_padded,
                 "out_t": out_t, "out_pos": out_pos, "out_len": out_len,
                 "out_sml": out_sml, "viol": viol}
 
-    def extend_cond(st):
-        return jnp.any(~st["done"] & ~st["fin"])
-
-    def wave_body(st):
-        st = jax.lax.while_loop(extend_cond, extend_body, st)
+    def skip_adjust_body(st):
         # ---- batched skip + adjust (lanes parked by finalize) ----
         t = st["t"]
         length = st["length"]
@@ -261,6 +257,14 @@ def ms_jump_kernel(x_padded, sa, isa, plcp, jump, gmax, sx_padded,
         fin = st["fin"] & ~alive  # alive lanes resume extending
         return {**st, "t": t, "length": length, "lb": lb, "rb": rb,
                 "pos": pos, "fin": fin, "done": done}
+
+    # ONE while loop; each iteration runs EITHER an extension step (some
+    # lane still mid-factor) OR the batched skip+adjust wave step — a
+    # lax.cond on one scalar keeps per-iteration cost to a single phase
+    # without nesting while_loops (which the TPU runtime handles poorly).
+    def wave_body(st):
+        all_parked = ~jnp.any(~st["done"] & ~st["fin"])
+        return jax.lax.cond(all_parked, skip_adjust_body, extend_body, st)
 
     def wave_cond(st):
         return jnp.any(~st["done"])
