@@ -96,16 +96,20 @@ def next_ge_device(gmax: jnp.ndarray, start: jnp.ndarray, t_val: jnp.ndarray,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("n", "sn", "cap", "window"))
-def ms_jump_kernel(x_padded, sa, isa, plcp, jump, gmax, sx_padded,
-                   chunk_starts, chunk_ends, *, n: int, sn: int,
-                   cap: int, window: int):
-    """Phase-separated head-jumping scan.
+                   static_argnames=("n", "sn", "cap", "window",
+                                    "max_iters"),
+                   donate_argnums=(7,))
+def ms_jump_step(x_padded, sa, isa, plcp, jump, gmax, sx_padded,
+                 state, chunk_ends, *, n: int, sn: int,
+                 cap: int, window: int, max_iters: int):
+    """Run up to ``max_iters`` iterations of the phase-separated
+    head-jumping scan and return the updated state (donated in place).
 
-    Returns (out_t, out_pos, out_len, out_sml int32/bool [L, cap],
-    nrec int32[L], viol bool[L]).
+    The host drives repeated steps until every lane is done — a single
+    unbounded device program at collection scale exceeds the tunnel
+    runtime's execution deadline and takes the TPU worker down with it.
     """
-    L = chunk_starts.shape[0]
+    L = chunk_ends.shape[0]
     W = window
     ROUNDS = _bs_rounds(n)
     karange = jnp.arange(W, dtype=jnp.int32)
@@ -188,10 +192,7 @@ def ms_jump_kernel(x_padded, sa, isa, plcp, jump, gmax, sx_padded,
         nrec = st["nrec"]
         colcap = jnp.minimum(nrec, cap)
         col = jnp.where(emit_now, colcap, cap)  # col==cap drops the write
-        out_t = st["out_t"].at[row, col].set(t, mode="drop")
-        out_pos = st["out_pos"].at[row, col].set(e_pos, mode="drop")
-        out_len = st["out_len"].at[row, col].set(e_len, mode="drop")
-        out_sml = st["out_sml"].at[row, col].set(e_sml, mode="drop")
+        rec = dict(col=col, t=t, pos=e_pos, length=e_len, sml=e_sml)
         viol = st["viol"] | (emit_now & (nrec >= cap))
         nrec = nrec + jnp.where(emit_now, 1, 0)
 
@@ -211,8 +212,7 @@ def ms_jump_kernel(x_padded, sa, isa, plcp, jump, gmax, sx_padded,
         done = done | (act & (t >= chunk_ends))
         return {**st, "t": t, "length": length, "lb": lb, "rb": rb,
                 "pos": pos, "fin": fin, "done": done, "nrec": nrec,
-                "out_t": out_t, "out_pos": out_pos, "out_len": out_len,
-                "out_sml": out_sml, "viol": viol}
+                "viol": viol}, rec
 
     def skip_adjust_body(st):
         # ---- batched skip + adjust (lanes parked by finalize) ----
@@ -255,28 +255,57 @@ def ms_jump_kernel(x_padded, sa, isa, plcp, jump, gmax, sx_padded,
         rb = jnp.where(adj_apply, qn, jnp.where(at_root, n - 1, rb))
         pos = jnp.where(alive, sa[jnp.clip(lb, 0, n - 1)], pos)
         fin = st["fin"] & ~alive  # alive lanes resume extending
+        rec = dict(col=jnp.full(L, cap, jnp.int32),
+                   t=t, pos=t, length=t, sml=jnp.zeros(L, bool))
         return {**st, "t": t, "length": length, "lb": lb, "rb": rb,
-                "pos": pos, "fin": fin, "done": done}
+                "pos": pos, "fin": fin, "done": done}, rec
 
     # ONE while loop; each iteration runs EITHER an extension step (some
     # lane still mid-factor) OR the batched skip+adjust wave step — a
     # lax.cond on one scalar keeps per-iteration cost to a single phase
     # without nesting while_loops (which the TPU runtime handles poorly).
-    def wave_body(st):
-        all_parked = ~jnp.any(~st["done"] & ~st["fin"])
-        return jax.lax.cond(all_parked, skip_adjust_body, extend_body, st)
+    # Every iteration: extension step for mid-factor lanes, then the
+    # skip+adjust step for lanes that are parked — MASKED per lane, with
+    # NO global barrier. (A cond that waits for all lanes to park
+    # multiplies the per-lane maxima: with thousands of desynchronized
+    # lanes the barrier made iteration count explode ~10x.)
+    def wave_body(carry):
+        st, out, it = carry
+        st, rec = extend_body(st)
+        st, _ = skip_adjust_body(st)
+        col = rec["col"]  # col == cap drops the write
+        out = dict(
+            t=out["t"].at[row, col].set(rec["t"], mode="drop"),
+            pos=out["pos"].at[row, col].set(rec["pos"], mode="drop"),
+            length=out["length"].at[row, col].set(rec["length"],
+                                                  mode="drop"),
+            sml=out["sml"].at[row, col].set(rec["sml"], mode="drop"))
+        return st, out, it + 1
 
-    def wave_cond(st):
-        return jnp.any(~st["done"])
+    def wave_cond(carry):
+        st, out, it = carry
+        return jnp.any(~st["done"]) & (it < max_iters)
 
-    init = {
-        "t": chunk_starts,
+    out0 = dict(t=state.pop("out_t"), pos=state.pop("out_pos"),
+                length=state.pop("out_len"), sml=state.pop("out_sml"))
+    st, out, _ = jax.lax.while_loop(wave_cond, wave_body,
+                                    (state, out0, jnp.int32(0)))
+    st["out_t"] = out["t"]
+    st["out_pos"] = out["pos"]
+    st["out_len"] = out["length"]
+    st["out_sml"] = out["sml"]
+    return st
+
+
+def jump_init_state(chunk_starts, chunk_ends, L: int, n: int, cap: int):
+    return {
+        "t": jnp.asarray(chunk_starts),
         "length": jnp.zeros(L, jnp.int32),
         "lb": jnp.zeros(L, jnp.int32),
         "rb": jnp.full(L, n - 1, jnp.int32),
         "pos": jnp.full(L, n - 1, jnp.int32),
         "fin": jnp.zeros(L, bool),
-        "done": chunk_starts >= chunk_ends,
+        "done": jnp.asarray(chunk_starts >= chunk_ends),
         "nrec": jnp.zeros(L, jnp.int32),
         "viol": jnp.zeros(L, bool),
         "out_t": jnp.zeros((L, cap), jnp.int32),
@@ -284,9 +313,6 @@ def ms_jump_kernel(x_padded, sa, isa, plcp, jump, gmax, sx_padded,
         "out_len": jnp.zeros((L, cap), jnp.int32),
         "out_sml": jnp.zeros((L, cap), jnp.bool_),
     }
-    st = jax.lax.while_loop(wave_cond, wave_body, init)
-    return (st["out_t"], st["out_pos"], st["out_len"], st["out_sml"],
-            st["nrec"], st["viol"])
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "sn", "h_pad"))
@@ -348,13 +374,23 @@ def ms_jump_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
     sx_dev = jnp.concatenate([jnp.asarray(sx),
                               jnp.zeros(window, jnp.uint8)])
     cap = max(64, bucket_size(int(3 * chunk_len // 16 + 64)))
+    ends_dev = jnp.asarray(ends)
+    max_iters = 512
     while True:
-        out = ms_jump_kernel(
-            index.x_padded, index.sa, index.isa, index.plcp, index.jump,
-            gmax, sx_dev, jnp.asarray(starts), jnp.asarray(ends),
-            n=n, sn=sn, cap=cap, window=window)
-        out_t, out_pos, out_len, out_sml, nrec, viol = out
-        if not bool(np.asarray(jnp.any(viol))):
+        state = jump_init_state(starts, ends, lanes, n, cap)
+        while True:
+            state = ms_jump_step(
+                index.x_padded, index.sa, index.isa, index.plcp,
+                index.jump, gmax, sx_dev, state, ends_dev,
+                n=n, sn=sn, cap=cap, window=window, max_iters=max_iters)
+            flags = np.asarray(jnp.stack(
+                [jnp.any(~state["done"]), jnp.any(state["viol"])]))
+            if flags[1] or not flags[0]:
+                break
+        out_t, out_pos = state["out_t"], state["out_pos"]
+        out_len, out_sml = state["out_len"], state["out_sml"]
+        nrec, viol = state["nrec"], state["viol"]
+        if not bool(flags[1]):
             break
         cap = bucket_size(cap * 2 + 1)
         if cap > max(2 * chunk_len, 1024):
