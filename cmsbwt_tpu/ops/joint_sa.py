@@ -103,13 +103,14 @@ def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
         # special (instances are pairwise distinct), so bytes past it are
         # irrelevant — and must be zeroed, or the byte order would consult
         # them before the instance rank (key 2).
-        bb = jnp.concatenate([b.astype(jnp.uint64),
-                              jnp.zeros(8, jnp.uint64)])
+        # byte-wide slices (the uint64 form read 8x the HBM bytes per pass)
+        bb = jnp.concatenate([b, jnp.zeros(8, jnp.uint8)])
+        d32 = d.astype(jnp.int32)
         p8 = jnp.zeros(m, jnp.uint64)
         for k in range(8):
             bk = jax.lax.dynamic_slice(bb, (k,), (m,))
-            bk = jnp.where(jnp.int64(k) <= d, bk, jnp.uint64(0))
-            p8 = (p8 << jnp.uint64(8)) | bk
+            bk = jnp.where(jnp.int32(k) <= d32, bk, jnp.uint8(0))
+            p8 = (p8 << jnp.uint64(8)) | bk.astype(jnp.uint64)
         pack8 = jax.lax.bitcast_convert_type(p8, jnp.int64)
         key = jax.lax.bitcast_convert_type(
             p8 ^ jnp.uint64(1 << 63), jnp.int64)  # order-preserving u64->i64
