@@ -46,14 +46,17 @@ INT32_MAX = 2**31 - 1
 
 
 @functools.partial(jax.jit, static_argnames=("m",))
-def joint_suffix_array(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray,
-                       m: int):
+def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int):
     """Suffix sort of the joint string.
 
-    j  int32[m]  true joint symbols (order-defining; all distinct specials)
+    The joint symbol at i IS the pair (b[i], sp[i]) ordered
+    lexicographically — byte first, instance rank second. No scaled
+    integer encoding exists anywhere (the old ``char * (S+1) + instance``
+    int32 map capped the document count at ~8M; the pair form has no cap).
+
     b  uint8[m]  byte image: real char value, separators 2, pads 255
     sp int32[m]  instance rank (>= 1) for specials, 0 for real chars;
-                 monotone with j within each special kind
+                 monotone within each special kind
 
     Returns (sa, isa, hist, pack8, k_star, split_lv):
 

@@ -46,56 +46,50 @@ from ..config import SEPARATOR
 
 INT_MIN = -(2**31)
 INT_MAX = 2**31 - 1
-PAD_VAL = np.int32(2**30)  # sorts above every mapped char; pad suffixes
-                           # cluster at the top of the joint SA (see below)
 LV_BINS = 34               # split-level histogram bins (levels < 32 + spill)
 
 
-def _joint_sa(j: jnp.ndarray, b: jnp.ndarray, sp: jnp.ndarray, m: int):
+def _joint_sa(b: jnp.ndarray, sp: jnp.ndarray, m: int):
     """Window-8–seeded doubling sort (ops/joint_sa.py); returns
     (sa, isa, hist, pack8, k_star, split_lv)."""
     from .joint_sa import joint_suffix_array
-    return joint_suffix_array(j, b, sp, m)
+    return joint_suffix_array(b, sp, m)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
-def _build_joint_device(x_u8, sx_u8, n, sn, scale, sep_base,
+def _build_joint_device(x_u8, sx_u8, n, sn, sep_base,
                         n_pad: int, sn_pad: int):
     """Device-side joint-string construction: uploads stay uint8 (the host
-    link runs at tens of MB/s; the int32 map is 4x the bytes).
+    link runs at tens of MB/s).
 
     sep_base = number of separators before this block (global numbering).
 
-    Returns (j, b, sp): the int32 joint symbols plus the byte image and
-    special-instance ranks consumed by the seeded suffix sort
-    (ops/joint_sa.py) — real chars keep their byte, separators share byte 2,
-    pads share byte 255, and ``sp`` carries each special's instance rank.
+    Returns (b, sp): the joint symbol at i IS the pair (b[i], sp[i]) —
+    real chars keep their byte with sp 0, separators share byte 2 with
+    doc-order instance ranks, pads share byte 255 with ascending ranks
+    (distinct pads resolve at window 1; constant pads would stall early
+    convergence). No scaled integer symbol exists, so the document count
+    is unbounded (the old ``char*(S+1)`` int32 map capped it at ~8M).
     """
-    # pads get DISTINCT ascending values above all real symbols so pad
-    # suffixes resolve at window 1 (constant pads stall early convergence)
     ridx = jnp.arange(n_pad, dtype=jnp.int32)
     is_xpad = ridx >= n
-    jx = jnp.where(is_xpad, PAD_VAL + ridx, x_u8.astype(jnp.int32) * scale)
     bx = jnp.where(is_xpad, jnp.uint8(255), x_u8)
     spx = jnp.where(is_xpad, ridx + 1, 0).astype(jnp.int32)
     tidx = jnp.arange(sn_pad, dtype=jnp.int32)
-    sxi = sx_u8.astype(jnp.int32)
-    is_sep = (tidx < sn) & (sxi == SEPARATOR)
+    is_sep = (tidx < sn) & (sx_u8 == SEPARATOR)
     sep_rank = jnp.cumsum(is_sep.astype(jnp.int32)) - 1
     is_tpad = tidx >= sn
-    jsx = jnp.where(is_tpad, PAD_VAL + n_pad + tidx, sxi * scale)
-    jsx = jnp.where(is_sep, 2 * scale + sep_base + sep_rank, jsx)
     bsx = jnp.where(is_tpad, jnp.uint8(255),
                     jnp.where(is_sep, jnp.uint8(SEPARATOR), sx_u8))
     spsx = jnp.where(is_tpad, n_pad + tidx + 1,
                      jnp.where(is_sep, sep_base + sep_rank + 1, 0)
                      ).astype(jnp.int32)
-    return (jnp.concatenate([jx, jsx]), jnp.concatenate([bx, bsx]),
-            jnp.concatenate([spx, spsx]))
+    return (jnp.concatenate([bx, bsx]), jnp.concatenate([spx, spsx]))
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n_pad"))
-def _irreducible_slots(j, sa, isa, split_lv, n, sn, m: int, n_pad: int):
+def _irreducible_slots(b, sp, sa, isa, split_lv, n, sn, m: int,
+                       n_pad: int):
     """Irreducible-LCP slots in SA order, compacted by sorting.
 
     Returns (stats, ai_sorted, bi_sorted, lv_sorted): the first rho
@@ -110,10 +104,13 @@ def _irreducible_slots(j, sa, isa, split_lv, n, sn, m: int, n_pad: int):
     irreducible (any position preceded by a pad char is itself
     irreducible).
     """
-    # joint BWT in SA order via one sort: payload v[i] = J[i-1] keyed by isa
-    v = jnp.concatenate([jnp.full(1, -1, jnp.int32), j[:-1]])
-    _, bw_sa = jax.lax.sort((isa, v), num_keys=1)
-    bw_prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), bw_sa[:-1]])
+    # joint BWT in SA order via one sort: payload v[i] = symbol (b, sp)
+    # pair of i-1 packed int64 (equality only — no order semantics needed)
+    with jax.enable_x64(True):
+        sym = (sp.astype(jnp.int64) << 8) | b.astype(jnp.int64)
+        v = jnp.concatenate([jnp.full(1, -1, jnp.int64), sym[:-1]])
+        _, bw_sa = jax.lax.sort((isa, v), num_keys=1)
+        bw_prev = jnp.concatenate([jnp.full(1, -2, jnp.int64), bw_sa[:-1]])
     r = jnp.arange(m, dtype=jnp.int32)
     reducible = (r > 0) & (bw_sa >= 0) & (bw_sa == bw_prev)
     is_real = (sa < n) | ((sa >= n_pad) & (sa < n_pad + sn))
@@ -328,17 +325,17 @@ def _assemble(sa, pred_pos, succ_pos, a, b, n, sn, m: int, n_pad: int,
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
-def _postprocess(j, pos, length, smaller, n, sn, scale,
+def _postprocess(b, pos, length, smaller, n, sn,
                  n_pad: int, sn_pad: int):
     """Device-side separator fixup, head detection, and bucket counts.
 
     Only O(n + H) data leaves the chip afterwards (the device link runs at
     tens of MB/s).
     """
-    jc = jax.lax.dynamic_slice(j, (n_pad,), (sn_pad,))
+    bc = jax.lax.dynamic_slice(b, (n_pad,), (sn_pad,))
     tidx = jnp.arange(sn_pad, dtype=jnp.int32)
     valid = tidx < sn
-    sep = valid & (jc >= 2 * scale) & (jc < 3 * scale)
+    sep = valid & (bc == SEPARATOR)
     pos = jnp.where(sep, n - 1, pos)
     length = jnp.where(sep, 0, length)
     prev = jnp.concatenate([jnp.full(1, -2, jnp.int32), pos[:-1]])
@@ -350,30 +347,24 @@ def _postprocess(j, pos, length, smaller, n, sn, scale,
     # from head records (to_next spans) on the host instead
     h = jnp.sum(is_head.astype(jnp.int32))
     # head BWT char: previous collection char, cyclic (extract_heads rule);
-    # recover the byte from the joint mapping (c*scale, separators -> 2)
-    prev_j = jnp.concatenate([jc[:1], jc[:-1]])
-    prev_j = jnp.where(tidx == 0, jc[jnp.maximum(sn - 1, 0)], prev_j)
-    # NOTE: the byte is prev_j // scale, but 24M integer divisions cost
-    # seconds on the VPU — divide after head compaction instead
-    return pos, length, smaller, is_head, h, prev_j
+    # separators are literally byte 2 in the byte image, so the char IS
+    # the previous byte (no scaled recovery)
+    prev_b = jnp.concatenate([bc[:1], bc[:-1]])
+    prev_b = jnp.where(tidx == 0, bc[jnp.maximum(sn - 1, 0)], prev_b)
+    return pos, length, smaller, is_head, h, prev_b
 
 
 @functools.partial(jax.jit, static_argnames=("sn_pad", "h_pad"))
-def _compact_heads(pos, length, smaller, is_head, char, scale,
+def _compact_heads(pos, length, smaller, is_head, char,
                    sn_pad: int, h_pad: int):
-    """Order-preserving head compaction via one multi-operand sort.
-
-    ``char`` carries raw joint values; the byte (value // scale) is
-    recovered on the h_pad-sized compacted slice only (integer division
-    over the full collection costs seconds on the VPU)."""
+    """Order-preserving head compaction via one multi-operand sort."""
     tidx = jnp.arange(sn_pad, dtype=jnp.int32)
     key = jnp.where(is_head, tidx, INT_MAX)
     _, t_s, pos_s, len_s, sml_s, chr_s = jax.lax.sort(
-        (key, tidx, pos, length, smaller.astype(jnp.int32), char),
-        num_keys=1)
+        (key, tidx, pos, length, smaller.astype(jnp.int32),
+         char.astype(jnp.int32)), num_keys=1)
     sl = lambda x: jax.lax.dynamic_slice(x, (0,), (h_pad,))
-    chr_b = (sl(chr_s) // scale).astype(jnp.int32)
-    return sl(t_s), sl(pos_s), sl(len_s), sl(sml_s) != 0, chr_b
+    return sl(t_s), sl(pos_s), sl(len_s), sl(sml_s) != 0, sl(chr_s)
 
 
 @dataclass
@@ -434,14 +425,6 @@ def _stage_timer():
     return mark
 
 
-def _check_alphabet_capacity(s: int, m: int, max_char: int) -> None:
-    """Joint symbols are char*(S+1) < PAD_VAL and pads PAD_VAL+[0,m)."""
-    if (max_char + 1) * (s + 1) >= int(PAD_VAL) or             int(PAD_VAL) + m >= INT_MAX:
-        raise NotImplementedError(
-            f"joint alphabet overflow: {s} separators, max char "
-            f"{max_char}, m={m}; dense remapping fallback not implemented")
-
-
 def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     from ..utils.jaxcache import bucket_size, enable_compilation_cache
     enable_compilation_cache()
@@ -455,25 +438,22 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     if sn_pad == sn and (sn == 0 or sx[-1] != SEPARATOR):
         sn_pad = bucket_size(sn + 1) if bucketed else sn + 1
     m = n_pad + sn_pad
-    s = int((sx == SEPARATOR).sum())
-    _check_alphabet_capacity(s, m, int(x_aug.max()) if n else 0)
     n_t = jnp.int32(n)
     sn_t = jnp.int32(sn)
-    scale = jnp.int32(s + 1)
     x_u8 = np.zeros(n_pad, np.uint8)
     x_u8[:n] = x_aug
     sx_u8 = np.zeros(sn_pad, np.uint8)
     sx_u8[:sn] = sx
     x_dev = jnp.asarray(x_u8)
-    j, b, sp = _build_joint_device(x_dev, jnp.asarray(sx_u8),
-                                   n_t, sn_t, scale, jnp.int32(0),
-                                   n_pad, sn_pad)
-    mark("upload+build_joint", j)
+    b, sp = _build_joint_device(x_dev, jnp.asarray(sx_u8),
+                                n_t, sn_t, jnp.int32(0),
+                                n_pad, sn_pad)
+    mark("upload+build_joint", b)
 
-    sa, isa, hist, pack8, k_star, split_lv = _joint_sa(j, b, sp, m)
+    sa, isa, hist, pack8, k_star, split_lv = _joint_sa(b, sp, m)
     mark("joint_sa", sa)
     stats_dev, ai_all, bi_all, lv_all = _irreducible_slots(
-        j, sa, isa, split_lv, n_t, sn_t, m, n_pad)
+        b, sp, sa, isa, split_lv, n_t, sn_t, m, n_pad)
     stats = np.asarray(stats_dev)
     rho = int(stats[0])
     mark("irreducible(rho=%d)" % rho, ai_all)
@@ -481,13 +461,13 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     ell = _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all, isa,
                              stats, m, rho_pad)
     mark("lift_and_fill", ell)
-    pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
-    mark("neighbors", a)
+    pred_pos, succ_pos, av, bv = _neighbors(sa, ell, n_t, m)
+    mark("neighbors", av)
     pos, length, smaller, ref_sa, ref_isa = _assemble(
-        sa, pred_pos, succ_pos, a, b, n_t, sn_t, m, n_pad, sn_pad)
+        sa, pred_pos, succ_pos, av, bv, n_t, sn_t, m, n_pad, sn_pad)
     mark("assemble", pos)
-    return dict(j=j, n=n, sn=sn, n_pad=n_pad, sn_pad=sn_pad, m=m, rho=rho,
-                scale=scale, n_t=n_t, sn_t=sn_t, pos=pos, length=length,
+    return dict(b=b, n=n, sn=sn, n_pad=n_pad, sn_pad=sn_pad, m=m, rho=rho,
+                n_t=n_t, sn_t=sn_t, pos=pos, length=length,
                 smaller=smaller, ref_sa=ref_sa, ref_isa=ref_isa, x_dev=x_dev)
 
 
@@ -505,9 +485,9 @@ def ms_dense(x_aug: np.ndarray, sx: np.ndarray,
     core = _dense_core(x_aug, sx, bucketed)
     n, sn = core["n"], core["sn"]
     (pos, length, smaller, is_head, h_dev,
-     char) = _postprocess(core["j"], core["pos"], core["length"],
+     char) = _postprocess(core["b"], core["pos"], core["length"],
                           core["smaller"], core["n_t"], core["sn_t"],
-                          core["scale"], core["n_pad"], core["sn_pad"])
+                          core["n_pad"], core["sn_pad"])
     pos_np = np.asarray(pos)[:sn].astype(np.int64)
     length_np = np.asarray(length)[:sn].astype(np.int64)
     smaller_np = np.asarray(smaller)[:sn].copy()
@@ -529,14 +509,14 @@ def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
     core = _dense_core(x_aug, sx, bucketed)
     n, sn = core["n"], core["sn"]
     (pos, length, smaller, is_head, h_dev,
-     char) = _postprocess(core["j"], core["pos"], core["length"],
+     char) = _postprocess(core["b"], core["pos"], core["length"],
                           core["smaller"], core["n_t"], core["sn_t"],
-                          core["scale"], core["n_pad"], core["sn_pad"])
+                          core["n_pad"], core["sn_pad"])
     h = int(np.asarray(h_dev))
     mark("postprocess", pos)
     h_pad = min(_pow2_pad(h), core["sn_pad"])
     out_t, out_pos, out_len, out_sml, out_chr = _compact_heads(
-        pos, length, smaller, is_head, char, core["scale"],
+        pos, length, smaller, is_head, char,
         core["sn_pad"], h_pad)
     mark("compact_heads", out_t)
     ref_sa, ref_isa = _export_ref(core)
@@ -577,7 +557,7 @@ class DeviceHeadsResult:
 
 
 @functools.partial(jax.jit, static_argnames=("h_pad", "n_pad"))
-def _finish_for_merge(t, pos, length, smaller, char, scale, ref_sa, ref_isa,
+def _finish_for_merge(t, pos, length, smaller, char, ref_sa, ref_isa,
                       x_dev, n, h, h_pad: int, n_pad: int):
     """Zero-fill pads (the merge kernels assume zeroed pad regions, matching
     merge_heads_numpy's np.full fill) and compute the reference BWT on
@@ -595,7 +575,7 @@ def _finish_for_merge(t, pos, length, smaller, char, scale, ref_sa, ref_isa,
     pos = jnp.where(keep, hpad(pos, 0), 0)
     length = jnp.where(keep, hpad(length, 0), 0)
     smaller = jnp.where(keep, hpad(smaller, False), False)
-    char = jnp.where(keep, (hpad(char, 0) // scale), 0).astype(jnp.uint8)
+    char = jnp.where(keep, hpad(char, 0), 0).astype(jnp.uint8)
 
     rid = jnp.arange(n_pad, dtype=jnp.int32)
     rkeep = rid < n
@@ -617,9 +597,9 @@ def ms_dense_heads_on_device(x_aug: np.ndarray, sx: np.ndarray,
     core = _dense_core(x_aug, sx, bucketed)
     n, sn = core["n"], core["sn"]
     (pos, length, smaller, is_head, h_dev,
-     char) = _postprocess(core["j"], core["pos"], core["length"],
+     char) = _postprocess(core["b"], core["pos"], core["length"],
                           core["smaller"], core["n_t"], core["sn_t"],
-                          core["scale"], core["n_pad"], core["sn_pad"])
+                          core["n_pad"], core["sn_pad"])
     h = int(np.asarray(h_dev))
     mark("postprocess", pos)
     h_pad = bucket_size(h + 1)
@@ -629,7 +609,7 @@ def ms_dense_heads_on_device(x_aug: np.ndarray, sx: np.ndarray,
     mark("compact_heads", out_t)
     (t, pos_h, len_h, sml_h, chr_h, ref_sa, ref_isa,
      ref_bwt) = _finish_for_merge(
-        out_t, out_pos, out_len, out_sml, out_chr, core["scale"],
+        out_t, out_pos, out_len, out_sml, out_chr,
         core["ref_sa"], core["ref_isa"], core["x_dev"], core["n_t"],
         jnp.int32(h), h_pad, core["n_pad"])
     mark("finish_for_merge", t)
@@ -647,8 +627,8 @@ def _compact_heads_raw(pos, length, smaller, is_head, char,
     tidx = jnp.arange(sn_pad, dtype=jnp.int32)
     key = jnp.where(is_head, tidx, INT_MAX)
     _, t_s, pos_s, len_s, sml_s, chr_s = jax.lax.sort(
-        (key, tidx, pos, length, smaller.astype(jnp.int32), char),
-        num_keys=1)
+        (key, tidx, pos, length, smaller.astype(jnp.int32),
+         char.astype(jnp.int32)), num_keys=1)
     sl = lambda x: jax.lax.dynamic_slice(x, (0,), (h_pad,))
     return sl(t_s), sl(pos_s), sl(len_s), sl(sml_s) != 0, sl(chr_s)
 
@@ -718,15 +698,15 @@ def _block_progress(sn: int):
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
-def _postprocess_block(j, pos, length, smaller, n, emit_len, scale,
-                       prev_pos0, prev_j0, n_pad: int, sn_pad: int):
+def _postprocess_block(b, pos, length, smaller, n, emit_len,
+                       prev_pos0, prev_b0, n_pad: int, sn_pad: int):
     """Block variant of _postprocess: emits only [0, emit_len), takes the
-    previous block's final pos and preceding joint char, and reports
+    previous block's final pos and preceding char byte, and reports
     context-truncation violations."""
-    jc = jax.lax.dynamic_slice(j, (n_pad,), (sn_pad,))
+    bc = jax.lax.dynamic_slice(b, (n_pad,), (sn_pad,))
     tidx = jnp.arange(sn_pad, dtype=jnp.int32)
     valid = tidx < emit_len
-    sep = valid & (jc >= 2 * scale) & (jc < 3 * scale)
+    sep = valid & (bc == SEPARATOR)
     pos = jnp.where(sep, n - 1, pos)
     length = jnp.where(sep, 0, length)
     prev = jnp.concatenate([jnp.full(1, 0, jnp.int32), pos[:-1]])
@@ -737,12 +717,12 @@ def _postprocess_block(j, pos, length, smaller, n, emit_len, scale,
     # serializes at a few M elem/s; the merge engine derives tail counts
     # from head records (to_next spans) on the host instead
     h = jnp.sum(is_head.astype(jnp.int32))
-    prev_j = jnp.concatenate([jc[:1], jc[:-1]])
-    prev_j = jnp.where(tidx == 0, prev_j0, prev_j)
-    char = prev_j  # raw joint value; byte recovered after compaction
+    prev_b = jnp.concatenate([bc[:1], bc[:-1]])
+    char = jnp.where(tidx == 0, prev_b0.astype(jnp.uint8), prev_b)
     # truncation check: a match reaching within 2 chars of the loaded window
-    # may have been cut by the pad (sn_block chars were loaded)
-    sn_block = jnp.sum((jc < PAD_VAL).astype(jnp.int32))
+    # may have been cut by the pad (sn_block chars were loaded; pads are
+    # byte 255, which never occurs in a valid collection)
+    sn_block = jnp.sum((bc != jnp.uint8(255)).astype(jnp.int32))
     viol = jnp.any(valid & (tidx + length + 2 > sn_block))
     last_pos = pos[jnp.maximum(emit_len - 1, 0)]
     # one packed scalar vector so the host needs a single fetch per block
@@ -770,12 +750,8 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
     if ctx_chars is None:
         ctx_chars = max(1 << 16, block_chars // 8)
     s_total = int((sx == SEPARATOR).sum())
-    scale_i = s_total + 1
     sep_cum = np.cumsum(sx == SEPARATOR)   # separators before position t
     n_pad = bucket_size(n)
-    _check_alphabet_capacity(
-        s_total, n_pad + bucket_size(block_chars + (ctx_chars or 0)) + 8,
-        int(x_aug.max()) if n else 0)
     ckpt = _block_ckpt(checkpoint_dir, fingerprint, block_chars)
     progress = _block_progress(sn)
     x_dev = None
@@ -783,7 +759,7 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
     head_parts: list[dict] = []
     ref_sa = ref_isa = None
     prev_pos0 = -2
-    prev_j0 = None  # joint value of sx[b0-1]
+    prev_b0 = None  # byte of sx[b0-1] (separators are literally byte 2)
     total_rho = 0
     b0 = 0
     while b0 < sn:
@@ -795,10 +771,7 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             prev_pos0 = cached["last_pos"]
             if ref_sa is None and cached.get("ref_sa") is not None:
                 ref_sa, ref_isa = cached["ref_sa"], cached["ref_isa"]
-            last_t = b0 + emit_len - 1
-            c = int(sx[last_t])
-            prev_j0 = (2 * scale_i + int(sep_cum[last_t]) - 1
-                       if c == SEPARATOR else c * scale_i)
+            prev_b0 = int(sx[b0 + emit_len - 1])
             b0 += emit_len
             progress.update(emit_len)
             continue
@@ -820,32 +793,31 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             sx_u8 = np.zeros(bs_pad, np.uint8)
             sx_u8[: len(sx_blk)] = sx_blk
             sep_base = int(sep_cum[b0 - 1]) if b0 > 0 else 0
-            j, b, sp = _build_joint_device(
+            b, sp = _build_joint_device(
                 x_dev, jnp.asarray(sx_u8), jnp.int32(n),
-                jnp.int32(len(sx_blk)), jnp.int32(scale_i),
+                jnp.int32(len(sx_blk)),
                 jnp.int32(sep_base), n_pad, bs_pad)
             n_t = jnp.int32(n)
-            sa, isa, hist, pack8, k_star, split_lv = _joint_sa(j, b, sp, m)
+            sa, isa, hist, pack8, k_star, split_lv = _joint_sa(b, sp, m)
             stats_dev, ai_all, bi_all, lv_all = _irreducible_slots(
-                j, sa, isa, split_lv, jnp.int32(n),
+                b, sp, sa, isa, split_lv, jnp.int32(n),
                 jnp.int32(len(sx_blk)), m, n_pad)
             stats = np.asarray(stats_dev)
             rho = int(stats[0])
             rho_pad = min(_pow2_pad(rho), m)
             ell = _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all,
                                      isa, stats, m, rho_pad)
-            pred_pos, succ_pos, a, b = _neighbors(sa, ell, n_t, m)
+            pred_pos, succ_pos, av, bv = _neighbors(sa, ell, n_t, m)
             pos, length, smaller, rsa, risa = _assemble(
-                sa, pred_pos, succ_pos, a, b, n_t,
+                sa, pred_pos, succ_pos, av, bv, n_t,
                 jnp.int32(len(sx_blk)), m, n_pad, bs_pad)
-            if prev_j0 is None:
-                pj0 = jnp.int32(2 * scale_i + s_total - 1)  # final separator
-            else:
-                pj0 = jnp.int32(prev_j0)
+            # cyclic rule: the stream's first head char is the final char
+            # of the collection — always the trailing separator (byte 2)
+            pb0 = jnp.int32(SEPARATOR if prev_b0 is None else prev_b0)
             (pos, length, smaller, is_head, char,
              scalars) = _postprocess_block(
-                j, pos, length, smaller, n_t, jnp.int32(emit_len),
-                jnp.int32(scale_i), jnp.int32(prev_pos0), pj0,
+                b, pos, length, smaller, n_t, jnp.int32(emit_len),
+                jnp.int32(prev_pos0), pb0,
                 n_pad, bs_pad)
             h, viol, last_pos = (int(v) for v in np.asarray(scalars))
             if viol and end < sn:
@@ -855,7 +827,7 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
         total_rho += rho
         h_pad = min(_pow2_pad(h), bs_pad)
         out_t, out_pos, out_len, out_sml, out_chr = _compact_heads(
-            pos, length, smaller, is_head, char, jnp.int32(scale_i),
+            pos, length, smaller, is_head, char,
             bs_pad, h_pad)
         part = dict(
             t=np.asarray(out_t)[:h].astype(np.int64) + b0,
@@ -872,10 +844,7 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             ckpt.save_block(b0, part, rho, last_pos,
                             ref_sa if b0 == 0 else None,
                             ref_isa if b0 == 0 else None)
-        last_t = b0 + emit_len - 1
-        c = int(sx[last_t])
-        prev_j0 = (2 * scale_i + int(sep_cum[last_t]) - 1
-                   if c == SEPARATOR else c * scale_i)
+        prev_b0 = int(sx[b0 + emit_len - 1])
         b0 += emit_len
         progress.update(emit_len)
 

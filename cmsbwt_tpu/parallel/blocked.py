@@ -39,12 +39,8 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
     if ctx_chars is None:
         ctx_chars = max(1 << 16, block_chars // 8)
     s_total = int((sx == SEPARATOR).sum())
-    scale_i = s_total + 1
     sep_cum = np.cumsum(sx == SEPARATOR)
     n_pad = bucket_size(n)
-    MD._check_alphabet_capacity(
-        s_total, n_pad + bucket_size(block_chars + (ctx_chars or 0)) + 8,
-        int(x_aug.max()) if n else 0)
 
     # block table
     starts = list(range(0, sn, block_chars))
@@ -78,7 +74,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         return MD._build_joint_device(
             ref_on(dev),
             jax.device_put(jnp.asarray(sx_u8), dev),
-            jnp.int32(n), jnp.int32(len(sx_blk)), jnp.int32(scale_i),
+            jnp.int32(n), jnp.int32(len(sx_blk)),
             jnp.int32(sep_base), n_pad, bs_pad)
 
     if blocks_in_flight is None:
@@ -113,17 +109,17 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         for i, bi in enumerate(wave):
             blk = blocks[bi]
             dev = devices[i % len(devices)]
-            j, b, sp = build_j(blk, dev)
+            b, sp = build_j(blk, dev)
             sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(
-                j, b, sp, blk["m"])
+                b, sp, blk["m"])
             stats_dev, ai_all, bi_all, lv_all = MD._irreducible_slots(
-                j, sa, isa, split_lv, jnp.int32(n),
+                b, sp, sa, isa, split_lv, jnp.int32(n),
                 jnp.int32(blk["len_blk"]), blk["m"], n_pad)
-            stage.append((bi, j, sa, isa, hist, pack8, stats_dev,
+            stage.append((bi, b, sa, isa, hist, pack8, stats_dev,
                           ai_all, bi_all, lv_all))
         # pass 2: lift -> neighbors -> assemble -> postprocess
         out = []
-        for (bi, j, sa, isa, hist, pack8, stats_dev, ai_all,
+        for (bi, bjoint, sa, isa, hist, pack8, stats_dev, ai_all,
              bi_all, lv_all) in stage:
             blk = blocks[bi]
             m = blk["m"]
@@ -138,13 +134,12 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
                 sa, pred_pos, succ_pos, a, b, n_t,
                 jnp.int32(blk["len_blk"]), m, n_pad,
                 blk["bs_pad"])
-            pj0 = (jnp.int32(2 * scale_i + s_total - 1) if blk["b0"] == 0
-                   else jnp.int32(int(
-                       _joint_char(sx, blk["b0"] - 1, sep_cum, scale_i))))
+            pb0 = (jnp.int32(SEPARATOR) if blk["b0"] == 0
+                   else jnp.int32(int(sx[blk["b0"] - 1])))
             (pos, length, smaller, is_head, char,
              scalars) = MD._postprocess_block(
-                j, pos, length, smaller, n_t, jnp.int32(blk["emit"]),
-                jnp.int32(scale_i), jnp.int32(-2), pj0, n_pad,
+                bjoint, pos, length, smaller, n_t, jnp.int32(blk["emit"]),
+                jnp.int32(-2), pb0, n_pad,
                 blk["bs_pad"])
             out.append((bi, rho, pos, length, smaller, is_head,
                         char, scalars, rsa, risa))
@@ -162,7 +157,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
                 continue
             h_pad = min(MD._pow2_pad(h), blk["bs_pad"])
             out_t, out_pos, out_len, out_sml, out_chr = MD._compact_heads(
-                pos, length, smaller, is_head, char, jnp.int32(scale_i),
+                pos, length, smaller, is_head, char,
                 blk["bs_pad"], h_pad)
             results[bi] = dict(
                 rho=rho, h=h,
@@ -216,9 +211,3 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         h=len(head_t), sn=sn,
         irreducible=int(sum(r["rho"] for r in results)))
 
-
-def _joint_char(sx, t, sep_cum, scale_i):
-    c = int(sx[t])
-    if c == SEPARATOR:
-        return 2 * scale_i + int(sep_cum[t]) - 1
-    return c * scale_i

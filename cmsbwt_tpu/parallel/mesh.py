@@ -53,20 +53,20 @@ def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
     jax.jit,
     static_argnames=("mesh", "n_pad", "bs_pad", "rho_cap", "h_cap"))
 def _wave_program(mesh, x_u8, sx_blocks, len_blk, emit_len, sep_base,
-                  prev_pos0, prev_j0, n, scale,
+                  prev_pos0, prev_b0, n,
                   n_pad: int, bs_pad: int, rho_cap: int, h_cap: int):
     """One wave: every device runs the full dense block pipeline on its
     block; returns per-device compacted heads + replicated wave scalars."""
     m = n_pad + bs_pad
 
-    def body(x_u8, sx_blk, len_blk, emit_len, sep_base, prev_pos0, prev_j0):
+    def body(x_u8, sx_blk, len_blk, emit_len, sep_base, prev_pos0, prev_b0):
         ln = len_blk[0]
         em = emit_len[0]
-        j, b, sp = MD._build_joint_device(
-            x_u8, sx_blk[0], n, ln, scale, sep_base[0], n_pad, bs_pad)
-        sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(j, b, sp, m)
+        b, sp = MD._build_joint_device(
+            x_u8, sx_blk[0], n, ln, sep_base[0], n_pad, bs_pad)
+        sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(b, sp, m)
         stats, ai_all, bi_all, lv_all = MD._irreducible_slots(
-            j, sa, isa, split_lv, n, ln, m, n_pad)
+            b, sp, sa, isa, split_lv, n, ln, m, n_pad)
         rho = stats[0]
         ell = MD._lift_and_fill(hist, pack8, ai_all, bi_all, lv_all, isa,
                                 m, rho_cap)
@@ -75,8 +75,8 @@ def _wave_program(mesh, x_u8, sx_blocks, len_blk, emit_len, sep_base,
             sa, pred_pos, succ_pos, a, bnb, n, ln, m, n_pad, bs_pad)
         # cross-block chain: my postprocessed last position -> next device.
         # (pos of a separator is fixed up to n-1 before the chain test.)
-        jc_last = j[n_pad + jnp.maximum(em - 1, 0)]
-        is_sep_last = (jc_last >= 2 * scale) & (jc_last < 3 * scale)
+        bc_last = b[n_pad + jnp.maximum(em - 1, 0)]
+        is_sep_last = bc_last == jnp.uint8(2)
         my_last = jnp.where(is_sep_last, n - 1,
                             pos[jnp.maximum(em - 1, 0)])
         ndev = jax.lax.axis_size("data")
@@ -86,11 +86,11 @@ def _wave_program(mesh, x_u8, sx_blocks, len_blk, emit_len, sep_base,
                              prev_pos0[0], from_left)
         (pos, length, smaller, is_head, char,
          scalars) = MD._postprocess_block(
-            j, pos, length, smaller, n, em, scale, prev_pos,
-            prev_j0[0], n_pad, bs_pad)
+            b, pos, length, smaller, n, em, prev_pos,
+            prev_b0[0], n_pad, bs_pad)
         h, viol, last_pos = scalars[0], scalars[1], scalars[2]
         out_t, out_pos, out_len, out_sml, out_chr = MD._compact_heads(
-            pos, length, smaller, is_head, char, scale, bs_pad, h_cap)
+            pos, length, smaller, is_head, char, bs_pad, h_cap)
         over = (h > h_cap) | (rho > rho_cap)
         # wave health: ONE replicated scalar fetch for the host
         any_viol = jax.lax.psum((viol > 0).astype(jnp.int32), "data")
@@ -111,7 +111,7 @@ def _wave_program(mesh, x_u8, sx_blocks, len_blk, emit_len, sep_base,
                    P("data"), P()),
         check_vma=False)
     return shard(body)(x_u8, sx_blocks, len_blk, emit_len, sep_base,
-                       prev_pos0, prev_j0)
+                       prev_pos0, prev_b0)
 
 
 def ms_dense_heads_mesh(x_aug: np.ndarray, sx: np.ndarray,
@@ -130,15 +130,12 @@ def ms_dense_heads_mesh(x_aug: np.ndarray, sx: np.ndarray,
     sn = len(sx)
     if ctx_chars is None:
         ctx_chars = max(1 << 16, block_chars // 8)
-    s_total = int((sx == SEPARATOR).sum())
-    scale_i = s_total + 1
     sep_cum = np.cumsum(sx == SEPARATOR)
     n_pad = bucket_size(n)
     bs_pad = bucket_size(block_chars + ctx_chars)
     if bs_pad == block_chars + ctx_chars:
         bs_pad = bucket_size(bs_pad + 1)  # joint must end with a special
     m = n_pad + bs_pad
-    MD._check_alphabet_capacity(s_total, m, int(x_aug.max()) if n else 0)
     rho_cap = min(MD._pow2_pad(-(-m // rho_cap_frac)), m)
     h_cap = min(MD._pow2_pad(-(-bs_pad // h_cap_frac)), bs_pad)
 
@@ -159,7 +156,7 @@ def ms_dense_heads_mesh(x_aug: np.ndarray, sx: np.ndarray,
         len_blk = np.zeros(ndev, np.int32)
         emit = np.zeros(ndev, np.int32)
         sep_base = np.zeros(ndev, np.int32)
-        prev_j0 = np.zeros(ndev, np.int32)
+        prev_b0 = np.zeros(ndev, np.int32)
         for i, b0 in enumerate(wave):
             e = min(block_chars, sn - b0)
             end = min(b0 + e + ctx_chars, sn)
@@ -168,16 +165,15 @@ def ms_dense_heads_mesh(x_aug: np.ndarray, sx: np.ndarray,
             len_blk[i] = len(blk)
             emit[i] = e
             sep_base[i] = int(sep_cum[b0 - 1]) if b0 > 0 else 0
-            prev_j0[i] = (2 * scale_i + s_total - 1 if b0 == 0 else
-                          _joint_char(sx, b0 - 1, sep_cum, scale_i))
+            prev_b0[i] = SEPARATOR if b0 == 0 else int(sx[b0 - 1])
         prev0 = np.full(ndev, -2, np.int32)
         prev0[0] = prev_pos0_host
 
         put = lambda a: jax.device_put(jnp.asarray(a), shard_rows)
         (t_r, pos_r, len_r, sml_r, chr_r, per_dev, wave_sc) = _wave_program(
             mesh, x_dev, put(sx_rows), put(len_blk), put(emit),
-            put(sep_base), put(prev0), put(prev_j0),
-            jnp.int32(n), jnp.int32(scale_i),
+            put(sep_base), put(prev0), put(prev_b0),
+            jnp.int32(n),
             n_pad, bs_pad, rho_cap, h_cap)
         any_viol, any_over, _ = (int(v) for v in np.asarray(wave_sc))
         pd = np.asarray(per_dev)  # [ndev, 5]
@@ -249,20 +245,14 @@ def _export_ref_index(x_aug, n_pad):
     x_u8 = np.zeros(n_pad, np.uint8)
     x_u8[:n] = x_aug
     bs_pad = 1 << 12
-    j, b, sp = MD._build_joint_device(
+    b, sp = MD._build_joint_device(
         jnp.asarray(x_u8), jnp.zeros(bs_pad, jnp.uint8), jnp.int32(n),
-        jnp.int32(0), jnp.int32(1), jnp.int32(0), n_pad, bs_pad)
+        jnp.int32(0), jnp.int32(0), n_pad, bs_pad)
     m = n_pad + bs_pad
-    sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(j, b, sp, m)
+    sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(b, sp, m)
     ell0 = jnp.zeros(m, jnp.int32)
     pred, succ, a, bb = MD._neighbors(sa, ell0, jnp.int32(n), m)
     _, _, _, ref_sa, ref_isa = MD._assemble(
         sa, pred, succ, a, bb, jnp.int32(n), jnp.int32(0), m, n_pad, bs_pad)
     return np.asarray(ref_sa)[:n], np.asarray(ref_isa)[:n]
 
-
-def _joint_char(sx, t, sep_cum, scale_i):
-    c = int(sx[t])
-    if c == SEPARATOR:
-        return 2 * scale_i + int(sep_cum[t]) - 1
-    return c * scale_i

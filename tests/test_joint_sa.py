@@ -37,9 +37,15 @@ def _joint(ref_len, docs, seed, doc_len=None, snp=0.05, sep_base=0,
     x_u8[:n] = x_aug
     sx_u8 = np.zeros(sn_pad, np.uint8)
     sx_u8[:sn] = sx
-    return MD._build_joint_device(
+    b, sp = MD._build_joint_device(
         jnp.asarray(x_u8), jnp.asarray(sx_u8), jnp.int32(n), jnp.int32(sn),
-        jnp.int32(s_total + 1), jnp.int32(sep_base), n_pad, sn_pad)
+        jnp.int32(sep_base), n_pad, sn_pad)
+    # order-equivalent integer symbols (byte-major, then instance) for the
+    # generic-sort oracle and brute lcp comparisons
+    m = n_pad + sn_pad
+    j = jnp.asarray(np.asarray(b).astype(np.int64) * (m + 1)
+                    + np.asarray(sp), dtype=jnp.int32)
+    return j, b, sp
 
 
 @pytest.mark.parametrize("ref_len,docs,seed,kw", [
@@ -53,8 +59,7 @@ def _joint(ref_len, docs, seed, doc_len=None, snp=0.05, sep_base=0,
 def test_seeded_equals_generic(ref_len, docs, seed, kw):
     j, b, sp = _joint(ref_len, docs, seed, **kw)
     m = int(j.shape[0])
-    sa_new, isa_new, hist, pack8, ks_new, split_lv = MD._joint_sa(
-        j, b, sp, m)
+    sa_new, isa_new, hist, pack8, ks_new, split_lv = MD._joint_sa(b, sp, m)
     sa_old, isa_old, _, _ = suffix_array_device(j, m)
     np.testing.assert_array_equal(np.asarray(sa_new), np.asarray(sa_old))
     np.testing.assert_array_equal(np.asarray(isa_new), np.asarray(isa_old))
@@ -74,7 +79,7 @@ def test_split_levels_bound_adjacent_lcp(seed, snp):
     (L == 3 only bounds it to < 8)."""
     j, b, sp = _joint(200, 3, 50 + seed, snp=snp)
     m = int(j.shape[0])
-    sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(j, b, sp, m)
+    sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(b, sp, m)
     jn, san, lvn = np.asarray(j), np.asarray(sa), np.asarray(split_lv)
     rng = np.random.default_rng(seed)
     for r in rng.integers(1, m, size=80):
@@ -91,7 +96,7 @@ def test_lift_pairs_matches_brute_lcp(seed):
     """The per-pair-level lift reproduces the exact adjacent LCP."""
     j, b, sp = _joint(150, 3, 100 + seed, snp=0.02)
     m = int(j.shape[0])
-    sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(j, b, sp, m)
+    sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(b, sp, m)
     jn, san = np.asarray(j), np.asarray(sa)
     rng = np.random.default_rng(seed)
     rs = rng.integers(1, m, size=64)
@@ -112,10 +117,9 @@ def test_orchestrated_lift_equals_single_dispatch(seed, snp):
     the same ell as the in-jit single-dispatch variant."""
     j, b, sp = _joint(400, 4, 200 + seed, snp=snp)
     m = int(j.shape[0])
-    sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(j, b, sp, m)
-    n = 1  # treat everything as real for this comparison
+    sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(b, sp, m)
     stats_dev, ai_all, bi_all, lv_all = MD._irreducible_slots(
-        j, sa, isa, split_lv, jnp.int32(m), jnp.int32(0), m, m)
+        b, sp, sa, isa, split_lv, jnp.int32(m), jnp.int32(0), m, m)
     stats = np.asarray(stats_dev)
     rho_pad = min(MD._pow2_pad(int(stats[0])), m)
     ell_1 = np.asarray(MD._lift_and_fill(
