@@ -1,0 +1,288 @@
+"""Sharded reference index: prefix-doubling suffix sort over a device mesh
+with int64 global indices — the >2^31 design of docs/giant_references.md
+made executable (scaled down; validated on the virtual CPU mesh).
+
+The reference binary caps the reference at 2^31 chars (int32 libsais SA,
+ref ``CMS-BWT-functions.cpp:246``, ``CMS-BWT.h:44``). Lifting the cap
+TPU-natively means the index itself is sharded over a ``Mesh(('ref',))``:
+no array ever materializes n contiguous int64 elements on one device.
+
+Per doubling round, entirely inside one ``shard_map`` program:
+
+* ``rank[i + w]`` — the only non-local read of the round — is TWO
+  ``ppermute`` shard rotations plus a local splice (``_shift_sharded``):
+  with ``w = q*local + r`` every element's source lies in shard ``s+q``
+  or ``s+q+1``.  This is the halo exchange of the design doc generalized
+  to any ``w`` (the doc's "first w ranks of the right neighbor" is the
+  ``q=0`` case).
+* the global key sort is a padded-bucket **sample sort**: local sort,
+  regularly-sampled splitters (all_gather), searchsorted partition, one
+  ``all_to_all`` with per-destination capacity ``local`` (a shard never
+  owns more than ``local`` elements, so no bucket can exceed it), local
+  re-sort.  Shard loads are irregular mid-round; ranks are written back
+  to the regular layout by a second all_to_all routed on ``idx // local``.
+* global rank assignment is a local cumsum plus an exclusive scan over
+  the shards' change-counts (all_gather of one scalar per shard) — the
+  distributed form of the ``cumsum(changed) - 1`` in
+  ``index/device.py:_dense_rank``.
+
+Keys are (rank, rank[i+w]) int64 pairs sorted with ``num_keys=2`` — no
+packing, so ranks up to 2^62 are representable (the int32 paths pack two
+ranks into one int64 and stop at 2^31).
+
+This module is the executable prototype for the large-reference regime:
+correct at any n that fits the mesh's aggregate memory, exercised in CI
+at dryrun scale (tests/test_sharded_index.py) on 8 virtual CPU devices
+against the single-device sort and a numpy oracle.
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "ref"
+
+
+def make_ref_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def _axis_index():
+    return jax.lax.axis_index(AXIS)
+
+
+def _shift_sharded(vals: jnp.ndarray, w: jnp.ndarray, n: jnp.ndarray,
+                   local: int, n_shards: int, pad_val) -> jnp.ndarray:
+    """Global ``out[i] = vals[i + w]`` (pad past n) on (local,)-sharded rows.
+
+    w = q*local + r: element i of shard s reads shard s+q (positions >= r)
+    or shard s+q+1 (positions < r). Two whole-shard ppermutes + splice.
+    """
+    q = w // local
+    r = w - q * local
+    s = _axis_index()
+
+    def rot(block, steps):
+        # bring shard (s + steps) % n_shards's block to shard s
+        perm = [(src, (src - steps) % n_shards) for src in range(n_shards)]
+        return jax.lax.ppermute(block, AXIS, perm)
+
+    # dynamic q: rotate by q via log-steps (q < n_shards)
+    def rot_dyn(block, steps):
+        out = block
+        for bit in range(max(1, n_shards.bit_length())):
+            amt = 1 << bit
+            rotated = rot(out, amt)
+            out = jnp.where((steps & amt) != 0, rotated, out)
+        return out
+
+    a = rot_dyn(vals, q)          # shard s+q's block
+    b = rot(a, 1)                 # shard s+q+1's block
+    idx = jnp.arange(local, dtype=jnp.int64)
+    spliced = jnp.where(idx + r < local,
+                        a[jnp.minimum(idx + r, local - 1)],
+                        b[jnp.clip(idx + r - local, 0, local - 1)])
+    gi = s.astype(jnp.int64) * local + idx + w
+    return jnp.where(gi < n, spliced, pad_val)
+
+
+def _exclusive_shard_prefix(count: jnp.ndarray, n_shards: int) -> jnp.ndarray:
+    """Exclusive prefix of a per-shard scalar across the mesh axis."""
+    all_counts = jax.lax.all_gather(count, AXIS)          # (R,)
+    s = _axis_index()
+    mask = jnp.arange(n_shards) < s
+    return jnp.sum(jnp.where(mask, all_counts, 0))
+
+
+def _sample_sort(k1, k2, v, local: int, n_shards: int, kmax):
+    """Globally sort (k1, k2, v) rows by (k1, k2) across the mesh axis.
+
+    Returns (k1, k2, v, valid) in padded irregular layout: each shard holds
+    a sorted slice of the global order, ``valid`` rows of it real, plus an
+    overflow flag (always 0 — capacity is provably sufficient — kept as a
+    runtime assert for the test harness).
+
+    Padded-bucket all_to_all: destination capacity = local since no shard
+    can receive more than the whole global share of... each source sends
+    <= local rows total, so per (source, destination) bucket <= local;
+    receive buffer is (n_shards, local).
+    """
+    k1s, k2s, vs = jax.lax.sort((k1, k2, v), num_keys=2)
+
+    # regular sampling: n_shards candidates per shard
+    step = max(local // n_shards, 1)
+    cand_idx = jnp.minimum(jnp.arange(n_shards) * step, local - 1)
+    c1 = k1s[cand_idx]
+    c2 = k2s[cand_idx]
+    g1 = jax.lax.all_gather(c1, AXIS, tiled=True)         # (R*R,)
+    g2 = jax.lax.all_gather(c2, AXIS, tiled=True)
+    g1, g2 = jax.lax.sort((g1, g2), num_keys=2)
+    spl_idx = jnp.arange(1, n_shards) * n_shards
+    s1 = g1[spl_idx]                                       # (R-1,) splitters
+    s2 = g2[spl_idx]
+
+    # destination shard per row: count of splitters <= (k1, k2)
+    below = (s1[None, :] < k1s[:, None]) | \
+        ((s1[None, :] == k1s[:, None]) & (s2[None, :] <= k2s[:, None]))
+    dest = jnp.sum(below.astype(jnp.int32), axis=1)        # (local,) in [0,R)
+
+    # pack rows into per-destination buckets of capacity local
+    # rows are sorted, so dest is non-decreasing: bucket-local offset =
+    # position - first position of that dest
+    first = jnp.searchsorted(dest, jnp.arange(n_shards), side="left")
+    offs = jnp.arange(local) - first[dest]
+    send1 = jnp.full((n_shards, local), kmax, k1s.dtype)
+    send2 = jnp.full((n_shards, local), kmax, k2s.dtype)
+    sendv = jnp.zeros((n_shards, local), vs.dtype)
+    send1 = send1.at[dest, offs].set(k1s)
+    send2 = send2.at[dest, offs].set(k2s)
+    sendv = sendv.at[dest, offs].set(vs)
+
+    r1 = jax.lax.all_to_all(send1, AXIS, 0, 0, tiled=False)
+    r2 = jax.lax.all_to_all(send2, AXIS, 0, 0, tiled=False)
+    rv = jax.lax.all_to_all(sendv, AXIS, 0, 0, tiled=False)
+
+    m1, m2, mv = jax.lax.sort(
+        (r1.reshape(-1), r2.reshape(-1), rv.reshape(-1)), num_keys=2)
+    valid = jnp.sum((m1 < kmax).astype(jnp.int64))
+    return m1, m2, mv, valid
+
+
+def _scatter_back(idx, val, local: int, n_shards: int, valid):
+    """Route (idx, val) rows (idx = global position, irregular padded
+    layout of size n_shards*local) back to the regular layout: shard
+    idx // local, slot idx % local. Second padded all_to_all."""
+    rows = idx.shape[0]
+    live = jnp.arange(rows, dtype=jnp.int64) < valid
+    dest = jnp.where(live, idx // local, n_shards)         # n_shards = drop
+    slot = jnp.where(live, idx - dest * local, 0)
+    sendv = jnp.zeros((n_shards, local), val.dtype)
+    # rows with equal dest write distinct slots (idx unique) — no collision
+    sendv = sendv.at[dest, slot].set(val, mode="drop")
+    sent = jnp.zeros((n_shards, local), jnp.int32)
+    sent = sent.at[dest, slot].set(1, mode="drop")
+    rv = jax.lax.all_to_all(sendv, AXIS, 0, 0, tiled=False)
+    rs = jax.lax.all_to_all(sent, AXIS, 0, 0, tiled=False)
+    # each (shard, slot) receives exactly one live row across sources
+    out = jnp.sum(rv * rs.astype(rv.dtype), axis=0)
+    return out
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "local", "n_shards",
+                                             "rounds"))
+def _sharded_sa_program(mesh, x_sh, n, local: int, n_shards: int,
+                        rounds: int):
+    kmax = jnp.int64(2**62)
+
+    def body(x_local, n):
+        n = n[0]
+        s = _axis_index()
+        gidx = s.astype(jnp.int64) * local + \
+            jnp.arange(local, dtype=jnp.int64)
+        in_n = gidx < n
+        # rank 0: character ranks; chars are small so chars ARE valid
+        # int64 keys directly (dense ranking happens implicitly: equal
+        # keys share sort order and the change-count pass densifies)
+        rank = jnp.where(in_n, x_local.astype(jnp.int64), kmax)
+
+        def round_w(carry, k):
+            rank, done = carry
+            w = jnp.int64(1) << k
+
+            def do(rank):
+                nxt = _shift_sharded(rank, w, n, local, n_shards,
+                                     jnp.int64(-1))
+                k1 = jnp.where(in_n, rank, kmax)
+                k2 = jnp.where(in_n, nxt, jnp.int64(-1))
+                m1, m2, mi, valid = _sample_sort(
+                    k1, k2, gidx, local, n_shards, kmax)
+                rows = m1.shape[0]
+                live = jnp.arange(rows, dtype=jnp.int64) < valid
+                changed = live & ~(
+                    (m1 == jnp.roll(m1, 1)) & (m2 == jnp.roll(m2, 1)) &
+                    (jnp.arange(rows) > 0))
+                # cross-shard tie continuation: if my first live key equals
+                # the last live key of the nearest non-empty shard to the
+                # left, row 0 continues that group (must NOT open a new one
+                # — splitting a tie group would bake the sort's arbitrary
+                # within-group order into the ranks)
+                has = valid > 0
+                last_i = jnp.maximum(valid - 1, 0)
+                g_has = jax.lax.all_gather(has, AXIS)
+                g1l = jax.lax.all_gather(m1[last_i], AXIS)
+                g2l = jax.lax.all_gather(m2[last_i], AXIS)
+                t = jnp.arange(n_shards)
+                j = jnp.max(jnp.where((t < s) & g_has, t, -1))
+                jc = jnp.maximum(j, 0)
+                first_same = (j >= 0) & (m1[0] == g1l[jc]) & \
+                    (m2[0] == g2l[jc])
+                changed = changed.at[0].set(live[0] & ~first_same)
+                # global rank = exclusive global prefix over first-of-group
+                local_marks = jnp.cumsum(changed.astype(jnp.int64))
+                total = local_marks[-1]
+                prefix = _exclusive_shard_prefix(total, n_shards)
+                # first row of a shard continues the previous shard's
+                # group unless `changed`: group id is still correct
+                # because prefix counts only UP TO this shard
+                gr = prefix + local_marks - 1
+                new_rank = _scatter_back(mi, gr, local, n_shards, valid)
+                new_rank = jnp.where(in_n, new_rank, kmax)
+                return new_rank
+
+            new_rank = jax.lax.cond(done, lambda r: r, do, rank)
+            nmax = jax.lax.pmax(
+                jnp.max(jnp.where(in_n, new_rank, -1)), AXIS)
+            done = done | (nmax == n - 1)
+            return (new_rank, done), None
+
+        # seed round w=1 happens via k=0; ranks densify on first pass
+        (rank, _), _ = jax.lax.scan(
+            round_w, (rank, jnp.bool_(False)),
+            jnp.arange(rounds, dtype=jnp.int64))
+        # SA: route gidx to position rank (rank is a permutation of [0,n))
+        rows = rank.shape[0]
+        sa = _scatter_back(jnp.where(in_n, rank, rows * n_shards + gidx),
+                           gidx, local, n_shards,
+                           jnp.int64(local))
+        # note: _scatter_back drops rows with dest >= n_shards (padding)
+        return rank, sa
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS)))(x_sh, n)
+
+
+def sharded_suffix_array(x: np.ndarray, n_devices: int | None = None):
+    """Suffix array of ``x`` (uint8, unique terminator recommended) computed
+    shard-parallel with int64 global indices. Returns (sa, isa) int64[n].
+
+    Scaled-down executable form of docs/giant_references.md; the same
+    program shape runs with local shards < 2^31 at any global n."""
+    mesh = make_ref_mesh(n_devices)
+    n_shards = mesh.devices.size
+    n = int(len(x))
+    local = -(-n // n_shards)
+    # pad to R*local with 0 (masked off by in_n inside the program)
+    x_pad = np.zeros(n_shards * local, np.uint8)
+    x_pad[:n] = x
+    rounds = 1
+    while (1 << rounds) < max(n, 2):
+        rounds += 1
+    xd = jax.device_put(
+        jnp.asarray(x_pad.astype(np.int32)),
+        NamedSharding(mesh, P(AXIS)))
+    with jax.enable_x64(True):
+        rank, sa = _sharded_sa_program(
+            mesh, xd, jnp.asarray([n], jnp.int64), local, n_shards, rounds)
+    sa_np = np.asarray(sa)[:n]
+    isa_np = np.asarray(rank)[:n]
+    return sa_np.astype(np.int64), isa_np.astype(np.int64)
