@@ -34,7 +34,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="output the run-length encoded BWT")
     p.add_argument("-o", dest="outname", default="",
                    help="basename for the output files (default: input name)")
-    p.add_argument("--backend", choices=["auto", "host", "device", "dense", "jump"],
+    p.add_argument("--backend",
+                   choices=["auto", "host", "device", "dense", "jump",
+                            "pallas"],
                    default="auto", help="compute backend (default auto)")
     p.add_argument("--lanes", type=int, default=256,
                    help="parallel MS cursors (device backend)")

@@ -131,16 +131,21 @@ def compute_bwt(cfg: Config) -> dict:
         return _write_outputs(cfg, outname, index, result, timer)
 
     ms = None
-    if backend == "jump":
+    if backend in ("jump", "pallas"):
         # head-jumping scan (ops/ms_jump): per-PHRASE device work — the
         # low-divergence fast path. Scan result and reference index stay
         # on device; the device merge finishes the pipeline.
-        from ..ops.ms_jump import ms_jump_heads
         from .device_merge import merge_heads_device_resident
         rq = cfg.rle and cfg.replicate_reference_rle_quirk
         with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
-            jres = ms_jump_heads(x_aug, coll.sx, lanes=cfg.lanes,
-                                 window=cfg.skip_window)
+            if backend == "pallas":
+                from ..ops.pallas_scan import ms_pallas_heads
+                jres = ms_pallas_heads(x_aug, coll.sx, lanes=cfg.lanes,
+                                       window=cfg.skip_window)
+            else:
+                from ..ops.ms_jump import ms_jump_heads
+                jres = ms_jump_heads(x_aug, coll.sx, lanes=cfg.lanes,
+                                     window=cfg.skip_window)
         with timer.phase("merge_device"):
             run_len, run_char, counter = merge_heads_device_resident(
                 jres, coll.d, rq,

@@ -544,7 +544,7 @@ def _compact_emissions(A, B, C, sx4_row, sn: int, sn_cap: int, h_pad: int):
 
 def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
                     window: int = 64, iters: int = 128,
-                    interpret: bool = False, index=None):
+                    interpret: bool | None = None, index=None):
     """Pallas-kernel MS scan end-to-end on device; returns a
     DeviceHeadsResult (ops/ms_dense layout) ready for engine/device_merge.
 
@@ -557,6 +557,10 @@ def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
     from .ms_dense import DeviceHeadsResult, _stage_timer
     from .ms_jump import _ref_pad
     enable_compilation_cache()
+    if interpret is None:
+        # non-TPU platforms (CPU tests, virtual meshes) run the kernel in
+        # the Pallas interpreter — same program, reference semantics
+        interpret = all(d.platform == "cpu" for d in jax.devices())
     mark = _stage_timer()
     sn = int(len(sx))
     if index is None:

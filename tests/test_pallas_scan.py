@@ -120,3 +120,28 @@ def test_pallas_heads_match_host_interpret(seed, ref_len, n_docs, snp,
                                   hh.smaller)
     np.testing.assert_array_equal(np.asarray(res.head_char)[:res.h],
                                   hh.char)
+
+
+def test_pipeline_backend_pallas(tmp_path):
+    """compute_bwt(backend='pallas') byte-matches the host backend, both
+    formats, incl. the counter debug artifact (interpret mode on CPU)."""
+    from helpers import make_inputs, mutate, random_dna
+    from cmsbwt_tpu.config import Config
+    from cmsbwt_tpu.engine.pipeline import compute_bwt
+    rng = np.random.default_rng(5)
+    ref = random_dna(rng, 700)
+    docs = [mutate(rng, ref, 0.004) for _ in range(5)]
+    docs[2] = docs[1]  # duplicate doc: counterBad path
+    lst, _, _ = make_inputs(tmp_path, ref, docs)
+    for rle in (False, True):
+        compute_bwt(Config(filename=str(lst), outname=str(tmp_path / "h"),
+                           backend="host", rle=rle))
+        compute_bwt(Config(filename=str(lst), outname=str(tmp_path / "p"),
+                           backend="pallas", rle=rle, lanes=8,
+                           skip_window=16))
+        ext = ".rl_bwt" if rle else ".bwt"
+        assert (tmp_path / ("h" + ext)).read_bytes() == \
+            (tmp_path / ("p" + ext)).read_bytes()
+        art = "h.counterSmallerThanHead_true"
+        assert (tmp_path / art).read_bytes() == \
+            (tmp_path / "p.counterSmallerThanHead_true").read_bytes()
