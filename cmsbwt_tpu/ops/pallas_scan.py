@@ -52,11 +52,35 @@ DN_AX1 = lax.GatherDimensionNumbers(
     operand_batching_dims=(0,), start_indices_batching_dims=(0,))
 
 
-def row_gather(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
-    """out[0, j] = tbl[0, idx[0, j]] — the one Mosaic-supported arbitrary
-    gather (lane-dim ``tpu.dynamic_gather``). idx must be in-bounds."""
+def _iota_row(size: int) -> jnp.ndarray:
+    """(1, size) int32 iota (TPU rejects 1D iota; guide §Math)."""
+    return lax.broadcasted_iota(jnp.int32, (1, size), 1)
+
+
+def _row_gather_eq(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return lax.gather(tbl, idx[..., None], DN_AX1, (1, 1),
                       mode=lax.GatherScatterMode.PROMISE_IN_BOUNDS)
+
+
+def row_gather(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """out[0, j] = tbl[0, idx[0, j]] — arbitrary flat gather built on the
+    one Mosaic-supported form (lane-dim ``tpu.dynamic_gather``, which
+    requires index shape == operand shape): narrower index rows are padded
+    to the table width, wider ones are chunked. idx must be in-bounds."""
+    T = tbl.shape[1]
+    Q = idx.shape[1]
+    if Q == T:
+        return _row_gather_eq(tbl, idx)
+    if Q < T:
+        pad = jnp.zeros((1, T - Q), jnp.int32)
+        full = jnp.concatenate([idx, pad], axis=1)
+        return lax.slice(_row_gather_eq(tbl, full), (0, 0), (1, Q))
+    outs = []
+    for off in range(0, Q, T):
+        w = min(T, Q - off)
+        chunk = lax.slice(idx, (0, off), (1, off + w))
+        outs.append(row_gather(tbl, chunk))
+    return jnp.concatenate(outs, axis=1)
 
 
 def _levels_for(nb: int) -> int:
@@ -111,9 +135,9 @@ def _inblock_scan(base_row, blk, i_limit, ub, n: int, want_right: bool,
     One gather of 128 values per lane + a reshaped lane-row reduction.
     """
     L = blk.shape[1]
-    karange = jnp.arange(BLOCK, dtype=jnp.int32)
+    karange = _iota_row(BLOCK)
     start = blk * BLOCK                                   # (1, L)
-    qi = start.reshape(L, 1) + karange.reshape(1, BLOCK)  # (L, 128)
+    qi = start.reshape(L, 1) + karange                    # (L, 128)
     vals = row_gather(base_row,
                       jnp.clip(qi.reshape(1, L * BLOCK), 0,
                                base_row.shape[1] - 1))
@@ -215,9 +239,9 @@ def next_ge_row(g_row, gtree_row, nb: int, levels: int, start, t_val,
     ms_jump.next_ge_device semantics on the two-level max tree."""
     s_c = jnp.clip(start, 0, n - 1)
     bs_ = s_c // BLOCK
-    karange = jnp.arange(BLOCK, dtype=jnp.int32)
+    karange = _iota_row(BLOCK)
     L = start.shape[1]
-    qi = (bs_ * BLOCK).reshape(L, 1) + karange.reshape(1, BLOCK)
+    qi = (bs_ * BLOCK).reshape(L, 1) + karange
     vals = row_gather(g_row, jnp.clip(qi.reshape(1, L * BLOCK), 0,
                                       g_row.shape[1] - 1)).reshape(L, BLOCK)
     ok = (qi >= s_c.reshape(L, 1)) & (qi < n) & \
@@ -229,7 +253,7 @@ def next_ge_row(g_row, gtree_row, nb: int, levels: int, start, t_val,
                                jnp.minimum(bs_ + 1, nb), t_val,
                                reduce_max=True)
     bnext_c = jnp.minimum(bnext, nb - 1)
-    qi2 = (bnext_c * BLOCK).reshape(L, 1) + karange.reshape(1, BLOCK)
+    qi2 = (bnext_c * BLOCK).reshape(L, 1) + karange
     vals2 = row_gather(g_row, jnp.clip(qi2.reshape(1, L * BLOCK), 0,
                                        g_row.shape[1] - 1)
                        ).reshape(L, BLOCK)
@@ -257,10 +281,10 @@ def _unpack_window(words: jnp.ndarray, a: jnp.ndarray, W: int):
     """
     L, nw = words.shape
     rep = jnp.broadcast_to(words[:, :, None], (L, nw, 4)).reshape(L, nw * 4)
-    marange = jnp.arange(W, dtype=jnp.int32)
+    marange = _iota_row(W)
     out = jnp.zeros((L, W), jnp.int32)
     for av in range(4):
-        shifts = (((av + marange) & 3) * 8).reshape(1, W)
+        shifts = ((av + marange) & 3) * 8
         chunk = lax.slice(rep, (0, av), (L, av + W))
         b = (chunk >> shifts) & 255
         out = jnp.where(a == av, b, out)
@@ -306,7 +330,7 @@ def make_step_kernel(*, n: int, n_row: int, nb: int, lv_l: int, gnb: int,
 
         def iter_body(k, st):
             t, length, lb, rb, pos, fin, done = st
-            karange = jnp.arange(W, dtype=jnp.int32)
+            karange = _iota_row(W)
             # ---------------- EXTEND (ms_jump_step extend_body) ----------
             act = (done == 0) & (fin == 0)
             cur_char = sx_byte(sx4, t)
@@ -315,8 +339,7 @@ def make_step_kernel(*, n: int, n_row: int, nb: int, lv_l: int, gnb: int,
             singleton = act & ~sep_emit & (lb == rb)
             j_abs = t + length
             w0 = jnp.clip(j_abs, 0, sn_cap - 1) >> 2
-            widx = (w0.reshape(L, 1)
-                    + jnp.arange(Wq, dtype=jnp.int32).reshape(1, Wq))
+            widx = w0.reshape(L, 1) + _iota_row(Wq)
             words = row_gather(
                 sx4, jnp.clip(widx.reshape(1, L * Wq), 0,
                               sx4.shape[1] - 1)).reshape(L, Wq)
@@ -324,21 +347,23 @@ def make_step_kernel(*, n: int, n_row: int, nb: int, lv_l: int, gnb: int,
             win_sx = _unpack_window(words, a, W)
             # past-the-end collection chars read as 0 (ms_jump pads sx
             # with zeros); mask explicitly since packing rounds up
-            jm = j_abs.reshape(L, 1) + karange.reshape(1, W)
+            jm = j_abs.reshape(L, 1) + karange
             win_sx = jnp.where(jm < sn, win_sx, 0)
-            xq = (pos.reshape(L, 1) + length.reshape(L, 1)
-                  + karange.reshape(1, W))
+            xq = pos.reshape(L, 1) + length.reshape(L, 1) + karange
             win_x = row_gather(
                 x, jnp.clip(xq.reshape(1, L * W), 0, n_row - 1)
             ).reshape(L, W)
             neq = win_sx != win_x
             any_neq = jnp.any(neq, axis=1).reshape(1, L)
-            dmm = jnp.min(jnp.where(neq, karange.reshape(1, W), W),
+            dmm = jnp.min(jnp.where(neq, karange, W),
                           axis=1).astype(jnp.int32).reshape(1, L)
             sgl_final = singleton & any_neq
-            dmm_c = jnp.clip(dmm, 0, W - 1).reshape(L, 1)
-            x_mis = gather2d(win_x, dmm_c).reshape(1, L)
-            s_mis = gather2d(win_sx, dmm_c).reshape(1, L)
+            dmm_b = jnp.broadcast_to(
+                jnp.clip(dmm, 0, W - 1).reshape(L, 1), (L, W))
+            x_mis = lax.slice(gather2d(win_x, dmm_b),
+                              (0, 0), (L, 1)).reshape(1, L)
+            s_mis = lax.slice(gather2d(win_sx, dmm_b),
+                              (0, 0), (L, 1)).reshape(1, L)
             sgl_smaller = x_mis > s_mis
 
             nons = act & ~sep_emit & (lb != rb)
