@@ -109,3 +109,24 @@ def test_pipeline_backend_jump(tmp_path):
         art = "h.counterSmallerThanHead_true"
         assert (tmp_path / art).read_bytes() == \
             (tmp_path / "j.counterSmallerThanHead_true").read_bytes()
+
+
+def test_pipeline_jump_host_merge_route(tmp_path):
+    """backend='jump' with merge_backend='host' (the SARS-shape route):
+    compacted heads download into the native host engine; bytes match."""
+    from helpers import make_inputs
+    from cmsbwt_tpu.config import Config
+    from cmsbwt_tpu.engine.pipeline import compute_bwt
+    rng = np.random.default_rng(17)
+    ref = random_dna(rng, 600)
+    docs = [mutate(rng, ref, 0.01) for _ in range(6)]
+    lst, _, _ = make_inputs(tmp_path, ref, docs)
+    for rle in (False, True):
+        compute_bwt(Config(filename=str(lst), outname=str(tmp_path / "h"),
+                           backend="host", rle=rle))
+        compute_bwt(Config(filename=str(lst), outname=str(tmp_path / "j"),
+                           backend="jump", rle=rle, lanes=8, skip_window=16,
+                           merge_backend="host"))
+        ext = ".rl_bwt" if rle else ".bwt"
+        assert (tmp_path / ("h" + ext)).read_bytes() == \
+            (tmp_path / ("j" + ext)).read_bytes()
