@@ -286,3 +286,190 @@ def sharded_suffix_array(x: np.ndarray, n_devices: int | None = None):
     sa_np = np.asarray(sa)[:n]
     isa_np = np.asarray(rank)[:n]
     return sa_np.astype(np.int64), isa_np.astype(np.int64)
+
+
+def _gather_sharded(vals: jnp.ndarray, q: jnp.ndarray, local: int,
+                    n_shards: int, oob_val) -> jnp.ndarray:
+    """General cross-shard gather: out[j] = global_vals[q[j]] for arbitrary
+    int64 global indices (out-of-range -> oob_val).
+
+    Two padded all_to_alls: queries route to their owner shard (dest =
+    q // local), owners answer with a local gather, and the SAME buffer
+    layout carries answers back (all_to_all is its own inverse on the
+    (n_shards, local) bucket grid). Per-(source, owner) bucket capacity is
+    ``local`` — trivially sufficient since a source has only ``local``
+    queries in total. This is the routed-gather fallback of
+    docs/giant_references.md item 2 (lift walks that cross shards).
+    """
+    n_total = local * n_shards
+    inr = (q >= 0) & (q < n_total)
+    qc = jnp.clip(q, 0, n_total - 1)
+    dest = (qc // local).astype(jnp.int32)
+    # bucket-local offsets: rank of each query within its dest group
+    order = jnp.argsort(dest, stable=True)
+    inv = jnp.argsort(order, stable=True)
+    dsorted = dest[order]
+    first = jnp.searchsorted(dsorted, jnp.arange(n_shards))
+    offs_sorted = jnp.arange(local) - first[dsorted]
+    offs = offs_sorted[inv]
+    sendq = jnp.zeros((n_shards, local), jnp.int64)
+    sendq = sendq.at[dest, offs].set(qc - dest.astype(jnp.int64) * local)
+    recvq = jax.lax.all_to_all(sendq, AXIS, 0, 0, tiled=False)
+    ans = vals[jnp.clip(recvq, 0, local - 1)]
+    back = jax.lax.all_to_all(ans, AXIS, 0, 0, tiled=False)
+    res = back[dest, offs]
+    return jnp.where(inr, res, oob_val)
+
+
+def _shift_right_one(vals: jnp.ndarray, n_shards: int, pad_val):
+    """Global out[i] = vals[i-1] (out[0] = pad_val) on sharded rows."""
+    s = _axis_index()
+    last = vals[-1]
+    perm = [(src, src + 1) for src in range(n_shards - 1)]
+    from_left = jax.lax.ppermute(last, AXIS, perm)
+    shifted = jnp.concatenate([from_left[None], vals[:-1]])
+    return jnp.where((s == 0) & (jnp.arange(vals.shape[0]) == 0),
+                     pad_val, shifted)
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "local", "n_shards",
+                                             "rounds"))
+def _sharded_lcp_program(mesh, hist_sh, sa_sh, n, local: int,
+                         n_shards: int, rounds: int):
+    def body(hist, sa, n):
+        n = n[0]
+        s = _axis_index()
+        gidx = s.astype(jnp.int64) * local + \
+            jnp.arange(local, dtype=jnp.int64)
+        in_n = (gidx < n) & (gidx >= 1)
+        a = _shift_right_one(sa, n_shards, jnp.int64(-1))   # SA[i-1]
+        b = sa
+        # pvary: the carry becomes device-varying on the first collective,
+        # so it must START varying for scan's type check (shard_map vma)
+        h = jax.lax.pvary(jnp.zeros(local, jnp.int64), AXIS)
+
+        def level(h, k):
+            rk = hist[k]
+            va = a + h
+            vb = b + h
+            ok = in_n & (va < n) & (vb < n) & (a >= 0)
+            ga = _gather_sharded(rk, jnp.where(ok, va, 0), local,
+                                 n_shards, jnp.int64(-1))
+            gb = _gather_sharded(rk, jnp.where(ok, vb, 0), local,
+                                 n_shards, jnp.int64(-2))
+            eq = ok & (ga == gb)
+            return h + jnp.where(eq, jnp.int64(1) << k, 0), None
+
+        h, _ = jax.lax.scan(level, h,
+                            jnp.arange(rounds, -1, -1, dtype=jnp.int64))
+        return jnp.where(in_n, h, 0)
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(None, AXIS), P(AXIS), P()),
+        out_specs=P(AXIS))(hist_sh, sa_sh, n)
+
+
+def sharded_suffix_array_with_lcp(x: np.ndarray,
+                                  n_devices: int | None = None):
+    """(sa, isa, lcp) with int64 global indices, all computed shard-
+    parallel: the doubling sort keeps its per-round rank history sharded,
+    and the LCP lift runs binary-lifting equality walks whose cross-shard
+    reads go through the routed gather (_gather_sharded).
+
+    LCP layout matches index/device.lcp_device: int64[n+1], LCP[0] = 0,
+    LCP[n] = -1."""
+    mesh = make_ref_mesh(n_devices)
+    n_shards = mesh.devices.size
+    n = int(len(x))
+    local = -(-n // n_shards)
+    x_pad = np.zeros(n_shards * local, np.uint8)
+    x_pad[:n] = x
+    rounds = 1
+    while (1 << rounds) < max(n, 2):
+        rounds += 1
+    xd = jax.device_put(jnp.asarray(x_pad.astype(np.int32)),
+                        NamedSharding(mesh, P(AXIS)))
+    with jax.enable_x64(True):
+        rank, sa, hist = _sharded_sa_history_program(
+            mesh, xd, jnp.asarray([n], jnp.int64), local, n_shards, rounds)
+        lcp = _sharded_lcp_program(mesh, hist, sa,
+                                   jnp.asarray([n], jnp.int64),
+                                   local, n_shards, rounds)
+    sa_np = np.asarray(sa)[:n].astype(np.int64)
+    isa_np = np.asarray(rank)[:n].astype(np.int64)
+    lcp_np = np.concatenate([np.asarray(lcp)[:n], [-1]]).astype(np.int64)
+    lcp_np[0] = 0
+    return sa_np, isa_np, lcp_np
+
+
+@functools.partial(jax.jit, static_argnames=("mesh", "local", "n_shards",
+                                             "rounds"))
+def _sharded_sa_history_program(mesh, x_sh, n, local: int, n_shards: int,
+                                rounds: int):
+    """_sharded_sa_program + per-round rank history (level k = ranks of
+    2^k-windows, the lift's comparison rows)."""
+    kmax = jnp.int64(2**62)
+
+    def body(x_local, n):
+        n = n[0]
+        s = _axis_index()
+        gidx = s.astype(jnp.int64) * local + \
+            jnp.arange(local, dtype=jnp.int64)
+        in_n = gidx < n
+        rank = jnp.where(in_n, x_local.astype(jnp.int64), kmax)
+        hist = jnp.zeros((rounds + 1, local), jnp.int64).at[0].set(rank)
+
+        def round_w(carry, k):
+            rank, hist, done = carry
+            w = jnp.int64(1) << k
+
+            def do(rank):
+                nxt = _shift_sharded(rank, w, n, local, n_shards,
+                                     jnp.int64(-1))
+                k1 = jnp.where(in_n, rank, kmax)
+                k2 = jnp.where(in_n, nxt, jnp.int64(-1))
+                m1, m2, mi, valid = _sample_sort(
+                    k1, k2, gidx, local, n_shards, kmax)
+                rows = m1.shape[0]
+                live = jnp.arange(rows, dtype=jnp.int64) < valid
+                changed = live & ~(
+                    (m1 == jnp.roll(m1, 1)) & (m2 == jnp.roll(m2, 1)) &
+                    (jnp.arange(rows) > 0))
+                has = valid > 0
+                last_i = jnp.maximum(valid - 1, 0)
+                g_has = jax.lax.all_gather(has, AXIS)
+                g1l = jax.lax.all_gather(m1[last_i], AXIS)
+                g2l = jax.lax.all_gather(m2[last_i], AXIS)
+                t = jnp.arange(n_shards)
+                j = jnp.max(jnp.where((t < s) & g_has, t, -1))
+                jc = jnp.maximum(j, 0)
+                first_same = (j >= 0) & (m1[0] == g1l[jc]) & \
+                    (m2[0] == g2l[jc])
+                changed = changed.at[0].set(live[0] & ~first_same)
+                local_marks = jnp.cumsum(changed.astype(jnp.int64))
+                total = local_marks[-1]
+                prefix = _exclusive_shard_prefix(total, n_shards)
+                gr = prefix + local_marks - 1
+                new_rank = _scatter_back(mi, gr, local, n_shards, valid)
+                return jnp.where(in_n, new_rank, kmax)
+
+            new_rank = jax.lax.cond(done, lambda r: r, do, rank)
+            hist = hist.at[k + 1].set(new_rank)
+            nmax = jax.lax.pmax(
+                jnp.max(jnp.where(in_n, new_rank, -1)), AXIS)
+            done = done | (nmax == n - 1)
+            return (new_rank, hist, done), None
+
+        (rank, hist, _), _ = jax.lax.scan(
+            round_w, (rank, hist, jnp.bool_(False)),
+            jnp.arange(rounds, dtype=jnp.int64))
+        rows = rank.shape[0]
+        sa = _scatter_back(jnp.where(in_n, rank, rows * n_shards + gidx),
+                           gidx, local, n_shards, jnp.int64(local))
+        return rank, sa, hist
+
+    return jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(AXIS), P()),
+        out_specs=(P(AXIS), P(AXIS), P(None, AXIS)))(x_sh, n)

@@ -51,3 +51,42 @@ def test_sharded_sa_uses_all_devices():
     assert len(jax.devices()) >= 8  # the virtual mesh is in force
     x = np.frombuffer(b"mississippi\x00", dtype=np.uint8).copy()
     _check(x)
+
+
+def test_sharded_lcp_matches_oracle():
+    from cmsbwt_tpu.parallel.sharded_index import \
+        sharded_suffix_array_with_lcp
+    rng = np.random.default_rng(23)
+    for n in (17, 130, 700):
+        x = rng.integers(1, 5, n).astype(np.uint8)
+        x[-1] = 0
+        sa, isa, lcp = sharded_suffix_array_with_lcp(x)
+        ref_sa = np_suffix_array(x)
+        np.testing.assert_array_equal(sa, ref_sa)
+        # oracle LCP
+        exp = np.zeros(n + 1, np.int64)
+        exp[n] = -1
+        for i in range(1, n):
+            a, b = x[sa[i - 1]:], x[sa[i]:]
+            m = 0
+            while m < len(a) and m < len(b) and a[m] == b[m]:
+                m += 1
+            exp[i] = m
+        np.testing.assert_array_equal(lcp, exp)
+        assert lcp.dtype == np.int64
+
+
+def test_sharded_lcp_repetitive():
+    from cmsbwt_tpu.parallel.sharded_index import \
+        sharded_suffix_array_with_lcp
+    x = np.frombuffer(b"abcabc" * 60 + b"\x00", dtype=np.uint8).copy()
+    sa, isa, lcp = sharded_suffix_array_with_lcp(x)
+    n = len(x)
+    exp_sa = np_suffix_array(x)
+    np.testing.assert_array_equal(sa, exp_sa)
+    for i in range(1, n):
+        a, b = x[sa[i - 1]:], x[sa[i]:]
+        m = 0
+        while m < len(a) and m < len(b) and a[m] == b[m]:
+            m += 1
+        assert lcp[i] == m, i
