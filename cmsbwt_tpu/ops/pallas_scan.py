@@ -292,7 +292,7 @@ def _unpack_window(words: jnp.ndarray, a: jnp.ndarray, W: int):
 
 
 def make_step_kernel(*, n: int, n_row: int, nb: int, lv_l: int, gnb: int,
-                     lv_g: int, sn: int, sn_cap: int, L: int, W: int,
+                     lv_g: int, sn_cap: int, L: int, W: int,
                      iters: int, rounds: int):
     """Build the kernel body for one Pallas wave step (``iters``
     iterations of the masked extend -> skip+adjust state machine of
@@ -305,10 +305,18 @@ def make_step_kernel(*, n: int, n_row: int, nb: int, lv_l: int, gnb: int,
         return (w >> ((tc & 3) * 8)) & 255
 
     def kernel(x_ref, sa_ref, isa_ref, lcp_ref, g_ref, ltree_ref,
-               gtree_ref, sx4_ref, ends_ref,
+               gtree_ref, sx4_ref, ends_ref, lim_ref,
                t_ref, len_ref, lb_ref, rb_ref, pos_ref, fin_ref, done_ref,
-               t_o, len_o, lb_o, rb_o, pos_o, fin_o, done_o,
+               viol_ref,
+               t_o, len_o, lb_o, rb_o, pos_o, fin_o, done_o, viol_o,
                emitA_ref, emitB_ref, emitC_ref):
+        # lim_ref (SMEM int32[1,2]): [0,0] = count of canonical chars in
+        # this collection slice; [0,1] = 1 when the slice is a mid-
+        # collection segment (reads past the limit are garbage and must
+        # flag a context violation), 0 when the slice reaches the true
+        # collection end (reads past it are the canonical zero pad).
+        lim = lim_ref[0, 0]
+        chk = lim_ref[0, 1]
         x = x_ref[:]
         sa = sa_ref[:]
         isa = isa_ref[:]
@@ -329,7 +337,7 @@ def make_step_kernel(*, n: int, n_row: int, nb: int, lv_l: int, gnb: int,
             return row_gather(isa, jnp.clip(i, 0, n - 1))
 
         def iter_body(k, st):
-            t, length, lb, rb, pos, fin, done = st
+            t, length, lb, rb, pos, fin, done, viol = st
             karange = _iota_row(W)
             # ---------------- EXTEND (ms_jump_step extend_body) ----------
             act = (done == 0) & (fin == 0)
@@ -348,7 +356,7 @@ def make_step_kernel(*, n: int, n_row: int, nb: int, lv_l: int, gnb: int,
             # past-the-end collection chars read as 0 (ms_jump pads sx
             # with zeros); mask explicitly since packing rounds up
             jm = j_abs.reshape(L, 1) + karange
-            win_sx = jnp.where(jm < sn, win_sx, 0)
+            win_sx = jnp.where(jm < lim, win_sx, 0)
             xq = pos.reshape(L, 1) + length.reshape(L, 1) + karange
             win_x = row_gather(
                 x, jnp.clip(xq.reshape(1, L * W), 0, n_row - 1)
@@ -439,6 +447,12 @@ def make_step_kernel(*, n: int, n_row: int, nb: int, lv_l: int, gnb: int,
                                       jnp.where(act, new_pos, pos)))
             fin = jnp.where(final, 1, fin)
             done = jnp.where(act & (t >= ends), 1, done)
+            # segment-context violation: this extension step could read
+            # past the slice's canonical chars — its outcome may differ
+            # from the full-collection scan; the driver retries the
+            # segment with a wider right context
+            touch = act & ~sep_emit & (j_abs + W > lim)
+            viol = jnp.where((chk == 1) & touch, 1, viol)
 
             # -------------- SKIP + ADJUST (skip_adjust_body) --------------
             park = (fin == 1) & (done == 0)
@@ -468,11 +482,11 @@ def make_step_kernel(*, n: int, n_row: int, nb: int, lv_l: int, gnb: int,
             rb = jnp.where(adj_apply, qn, jnp.where(at_root, n - 1, rb))
             pos = jnp.where(alive, sa_at(lb), pos)
             fin = jnp.where(alive, 0, fin)
-            return (t, length, lb, rb, pos, fin, done)
+            return (t, length, lb, rb, pos, fin, done, viol)
 
         st = (t_ref[:], len_ref[:], lb_ref[:], rb_ref[:], pos_ref[:],
-              fin_ref[:], done_ref[:])
-        t, length, lb, rb, pos, fin, done = lax.fori_loop(
+              fin_ref[:], done_ref[:], viol_ref[:])
+        t, length, lb, rb, pos, fin, done, viol = lax.fori_loop(
             0, iters, iter_body, st)
         t_o[:] = t
         len_o[:] = length
@@ -481,6 +495,7 @@ def make_step_kernel(*, n: int, n_row: int, nb: int, lv_l: int, gnb: int,
         pos_o[:] = pos
         fin_o[:] = fin
         done_o[:] = done
+        viol_o[:] = viol
 
     return kernel
 
@@ -495,37 +510,40 @@ def _round_up(v: int, m: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n", "n_row", "nb", "lv_l", "gnb", "lv_g", "sn",
+    static_argnames=("n", "n_row", "nb", "lv_l", "gnb", "lv_g",
                      "sn_cap", "L", "W", "iters", "rounds", "interpret"),
-    donate_argnums=(9, 10, 11, 12, 13, 14, 15))
+    donate_argnums=(10, 11, 12, 13, 14, 15, 16, 17))
 def ms_pallas_step(x_row, sa_row, isa_row, lcp_row, g_row, ltree_row,
-                   gtree_row, sx4_row, ends_row,
-                   t, ln, lb, rb, pos, fin, done, *,
+                   gtree_row, sx4_row, ends_row, lim_row,
+                   t, ln, lb, rb, pos, fin, done, viol, *,
                    n: int, n_row: int, nb: int, lv_l: int, gnb: int,
-                   lv_g: int, sn: int, sn_cap: int, L: int, W: int,
+                   lv_g: int, sn_cap: int, L: int, W: int,
                    iters: int, rounds: int, interpret: bool = False):
     """One Pallas wave step: ``iters`` kernel-internal iterations; state
     rows are donated and updated in place; emissions come back as three
-    (iters, L) buffers (C row: emitting lane's t, -1 otherwise)."""
+    (iters, L) buffers (C row: emitting lane's slice-local t, -1
+    otherwise). lim_row int32[1,2] = [valid chars in slice, check flag]
+    (traced, so segment retries with wider context reuse the compile)."""
     from jax.experimental.pallas import tpu as pltpu
     kernel = make_step_kernel(
-        n=n, n_row=n_row, nb=nb, lv_l=lv_l, gnb=gnb, lv_g=lv_g, sn=sn,
+        n=n, n_row=n_row, nb=nb, lv_l=lv_l, gnb=gnb, lv_g=lv_g,
         sn_cap=sn_cap, L=L, W=W, iters=iters, rounds=rounds)
     row = jax.ShapeDtypeStruct((1, L), jnp.int32)
     emit = jax.ShapeDtypeStruct((iters, L), jnp.int32)
     vm = pl.BlockSpec(memory_space=pltpu.VMEM)
+    sm = pl.BlockSpec(memory_space=pltpu.SMEM)
     return pl.pallas_call(
         kernel,
-        out_shape=(row,) * 7 + (emit,) * 3,
-        in_specs=[vm] * 16,
-        out_specs=(vm,) * 10,
-        input_output_aliases={9: 0, 10: 1, 11: 2, 12: 3, 13: 4, 14: 5,
-                              15: 6},
+        out_shape=(row,) * 8 + (emit,) * 3,
+        in_specs=[vm] * 9 + [sm] + [vm] * 8,
+        out_specs=(vm,) * 11,
+        input_output_aliases={10: 0, 11: 1, 12: 2, 13: 3, 14: 4, 15: 5,
+                              16: 6, 17: 7},
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=128 * 1024 * 1024),
         interpret=interpret,
     )(x_row, sa_row, isa_row, lcp_row, g_row, ltree_row, gtree_row,
-      sx4_row, ends_row, t, ln, lb, rb, pos, fin, done)
+      sx4_row, ends_row, lim_row, t, ln, lb, rb, pos, fin, done, viol)
 
 
 INT_MAX = np.int32(2**31 - 1)
@@ -569,6 +587,8 @@ def _compact_emissions(A, B, C, sx4_row, sn: int, sn_cap: int, h_pad: int):
 
 def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
                     window: int = 64, iters: int = 128,
+                    segment_chars: int = 16 << 20,
+                    ctx_chars: int = 1 << 18,
                     interpret: bool | None = None, index=None):
     """Pallas-kernel MS scan end-to-end on device; returns a
     DeviceHeadsResult (ops/ms_dense layout) ready for engine/device_merge.
@@ -612,52 +632,96 @@ def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
     lv_l = _levels_for(nb)
     mark("pallas_rows")
 
-    # --- collection: 4-packed words ---
+    # --- collection: slices of 4-packed words (VMEM cannot hold very
+    # long collections; segments are exact by the pure-function argument,
+    # with an adaptive right context + in-kernel violation flag for
+    # factors that extend past the slice — the pallas form of the blocked
+    # dense path's adaptive ctx) ---
     W = window
-    sn_cap = _round_up(sn + W + 4, 4 * BLOCK)
-    sxp = np.zeros(sn_cap, np.uint8)
-    sxp[:sn] = sx
-    sx4 = sxp.view("<u4").astype(np.int32) if False else \
-        np.frombuffer(sxp.tobytes(), "<i4").copy()
-    sx4_row = jnp.asarray(sx4).reshape(1, -1)
-
-    L = max(1, min(lanes, sn))
-    chunk_len = -(-sn // L)
-    starts = (np.arange(L) * chunk_len).astype(np.int32)
-    ends = np.minimum(starts + chunk_len, sn).astype(np.int32)
-    ends_row = jnp.asarray(ends).reshape(1, L)
     ROUNDS = 1
     while (1 << ROUNDS) < n:
         ROUNDS += 1
     ROUNDS += 1
 
-    st = dict(
-        t=jnp.asarray(starts).reshape(1, L),
-        ln=jnp.zeros((1, L), jnp.int32),
-        lb=jnp.zeros((1, L), jnp.int32),
-        rb=jnp.full((1, L), n - 1, jnp.int32),
-        pos=jnp.full((1, L), n - 1, jnp.int32),
-        fin=jnp.zeros((1, L), jnp.int32),
-        done=jnp.asarray(starts >= ends).astype(jnp.int32).reshape(1, L))
+    seg_chars = int(segment_chars)
+    seg_chars = max(4 * BLOCK, (seg_chars // (4 * BLOCK)) * (4 * BLOCK))
     emits = []
-    statics = dict(n=n, n_row=n_row, nb=nb, lv_l=lv_l, gnb=nb, lv_g=lv_l,
-                   sn=sn, sn_cap=sn_cap, L=L, W=W, iters=iters,
-                   rounds=ROUNDS, interpret=interpret)
-    steps = 0
-    while True:
-        out = ms_pallas_step(
-            x_row, sa_row, isa_row, lcp_row, g_row, ltree, gtree,
-            sx4_row, ends_row, st["t"], st["ln"], st["lb"], st["rb"],
-            st["pos"], st["fin"], st["done"], **statics)
-        (st["t"], st["ln"], st["lb"], st["rb"], st["pos"], st["fin"],
-         st["done"]) = out[:7]
-        emits.append(out[7:])
-        steps += 1
-        if not bool(np.asarray(jnp.any(st["done"] == 0))):
-            break
-        if steps > max(64, 8 * (chunk_len // max(iters, 1) + 2)):
-            raise RuntimeError("ms_pallas: step runaway (lanes stuck)")
-    mark("pallas_scan(steps=%d)" % steps)
+    base = 0
+    steps_total = 0
+    sxb = np.asarray(sx, np.uint8)
+    while base < sn:
+        seg_sn = min(seg_chars, sn - base)
+        ctx = min(ctx_chars, max(sn - (base + seg_sn), 0))
+        while True:
+            tail_all = (base + seg_sn + ctx) >= sn
+            avail = min(sn - base, seg_sn + ctx)
+            slice_cap = _round_up(seg_chars + max(ctx, 1) + W + 4,
+                                  4 * BLOCK)
+            slice_cap = max(slice_cap,
+                            _round_up(avail + W + 4, 4 * BLOCK))
+            sxp = np.zeros(slice_cap, np.uint8)
+            sxp[:avail] = sxb[base:base + avail]
+            sx4_row = jnp.asarray(
+                np.frombuffer(sxp.tobytes(), "<i4").copy()).reshape(1, -1)
+            L = max(1, min(lanes, seg_sn))
+            chunk_len = -(-seg_sn // L)
+            starts = (np.arange(L) * chunk_len).astype(np.int32)
+            ends = np.minimum(starts + chunk_len, seg_sn).astype(np.int32)
+            ends_row = jnp.asarray(ends).reshape(1, L)
+            lim_row = jnp.asarray(
+                [[avail, 0 if tail_all else 1]], jnp.int32)
+            st = dict(
+                t=jnp.asarray(starts).reshape(1, L),
+                ln=jnp.zeros((1, L), jnp.int32),
+                lb=jnp.zeros((1, L), jnp.int32),
+                rb=jnp.full((1, L), n - 1, jnp.int32),
+                pos=jnp.full((1, L), n - 1, jnp.int32),
+                fin=jnp.zeros((1, L), jnp.int32),
+                done=jnp.asarray(starts >= ends).astype(
+                    jnp.int32).reshape(1, L),
+                viol=jnp.zeros((1, L), jnp.int32))
+            statics = dict(n=n, n_row=n_row, nb=nb, lv_l=lv_l, gnb=nb,
+                           lv_g=lv_l, sn_cap=int(sx4_row.shape[1] * 4),
+                           L=L, W=W, iters=iters, rounds=ROUNDS,
+                           interpret=interpret)
+            seg_emits = []
+            steps = 0
+            while True:
+                out = ms_pallas_step(
+                    x_row, sa_row, isa_row, lcp_row, g_row, ltree, gtree,
+                    sx4_row, ends_row, lim_row, st["t"], st["ln"],
+                    st["lb"], st["rb"], st["pos"], st["fin"], st["done"],
+                    st["viol"], **statics)
+                (st["t"], st["ln"], st["lb"], st["rb"], st["pos"],
+                 st["fin"], st["done"], st["viol"]) = out[:8]
+                seg_emits.append(out[8:])
+                steps += 1
+                flags = np.asarray(jnp.stack(
+                    [jnp.any(st["done"] == 0), jnp.any(st["viol"] == 1)]))
+                if flags[1] or not flags[0]:
+                    break
+                if steps > max(64, 8 * (chunk_len // max(iters, 1) + 2)):
+                    raise RuntimeError(
+                        "ms_pallas: step runaway (lanes stuck)")
+            steps_total += steps
+            if not bool(flags[1]):
+                break
+            # context violation: some factor may extend past the slice —
+            # widen geometrically and redo the segment (rare: needs a
+            # factor longer than ctx at a segment boundary)
+            ctx = min(max(ctx * 4, 1 << 16), max(sn - (base + seg_sn), 0))
+        off = jnp.int32(base)
+        for eA, eB, eC in seg_emits:
+            emits.append((eA, eB, jnp.where(eC >= 0, eC + off, -1)))
+        base += seg_sn
+    mark("pallas_scan(steps=%d)" % steps_total)
+
+    # global sx words for the compaction's head-char gather
+    sn_cap = _round_up(sn + 4, 4 * BLOCK)
+    sxp = np.zeros(sn_cap, np.uint8)
+    sxp[:sn] = sxb
+    sx4_all = jnp.asarray(
+        np.frombuffer(sxp.tobytes(), "<i4").copy()).reshape(1, -1)
 
     A = jnp.concatenate([e[0].reshape(-1) for e in emits])
     B = jnp.concatenate([e[1].reshape(-1) for e in emits])
@@ -665,7 +729,7 @@ def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
     total = int(np.asarray(jnp.sum((C >= 0).astype(jnp.int32))))
     h_pad = min(bucket_size(total + 1), int(C.shape[0]))
     t_h, pos_h, len_h, sml_h, chr_h, h_dev = _compact_emissions(
-        A, B, C, sx4_row, sn, sn_cap, h_pad)
+        A, B, C, sx4_all, sn, sn_cap, h_pad)
     h = int(np.asarray(h_dev))
     mark("pallas_compact(h=%d)" % h)
     n_pad2 = bucket_size(n + 1)

@@ -145,3 +145,67 @@ def test_pipeline_backend_pallas(tmp_path):
         art = "h.counterSmallerThanHead_true"
         assert (tmp_path / art).read_bytes() == \
             (tmp_path / "p.counterSmallerThanHead_true").read_bytes()
+
+
+def test_pallas_segmented_matches_host():
+    """Tiny segments + tiny context force the segment loop and the
+    context-violation retry; heads must still match the host engine."""
+    from cmsbwt_tpu.engine import heads as heads_mod
+    from cmsbwt_tpu.engine.ms_host import ms_scan_collection
+    from cmsbwt_tpu.index.host import build_reference_index
+    from cmsbwt_tpu.io.fasta import SEPARATOR, augment_reference
+    from cmsbwt_tpu.ops.pallas_scan import ms_pallas_heads
+    from helpers import mutate, random_dna
+    rng = np.random.default_rng(9)
+    ref = random_dna(rng, 1200)
+    docs = [np.frombuffer(mutate(rng, ref, 0.005), np.uint8)
+            for _ in range(4)]
+    sep = np.full(1, SEPARATOR, np.uint8)
+    sx = np.concatenate([sep] + [np.concatenate([d, sep]) for d in docs])
+    x_aug = np.frombuffer(augment_reference(ref), np.uint8)
+    index = build_reference_index(x_aug)
+    ms = ms_scan_collection(index, sx, np.nonzero(sx == SEPARATOR)[0])
+    hh = heads_mod.extract_heads(index, ms, sx)
+    # segment=1024 chars (mult of 512 after rounding), ctx=512 -> factors
+    # at 0.5% SNP are ~200 chars so retries stay rare but segmentation is
+    # heavily exercised (5 segments)
+    res = ms_pallas_heads(x_aug, sx, lanes=4, window=16, iters=32,
+                          segment_chars=1024, ctx_chars=512,
+                          interpret=True)
+    assert res.h == hh.h, (res.h, hh.h)
+    np.testing.assert_array_equal(np.asarray(res.head_t)[:res.h], hh.t)
+    np.testing.assert_array_equal(np.asarray(res.head_pos)[:res.h], hh.pos)
+    np.testing.assert_array_equal(np.asarray(res.head_len)[:res.h],
+                                  hh.length)
+    np.testing.assert_array_equal(np.asarray(res.head_smaller)[:res.h],
+                                  hh.smaller)
+
+
+def test_pallas_segmented_viol_retry():
+    """Identical documents: every factor runs to the doc end, so any
+    mid-collection segment boundary forces the ctx-violation retry path
+    (ctx quadruples until the slice reaches the collection end)."""
+    from cmsbwt_tpu.engine import heads as heads_mod
+    from cmsbwt_tpu.engine.ms_host import ms_scan_collection
+    from cmsbwt_tpu.index.host import build_reference_index
+    from cmsbwt_tpu.io.fasta import SEPARATOR, augment_reference
+    from cmsbwt_tpu.ops.pallas_scan import ms_pallas_heads
+    from helpers import random_dna
+    rng = np.random.default_rng(10)
+    ref = random_dna(rng, 900)
+    doc = np.frombuffer(ref, np.uint8)
+    sep = np.full(1, SEPARATOR, np.uint8)
+    sx = np.concatenate([sep] + [np.concatenate([doc, sep])
+                                 for _ in range(3)])
+    x_aug = np.frombuffer(augment_reference(ref), np.uint8)
+    index = build_reference_index(x_aug)
+    ms = ms_scan_collection(index, sx, np.nonzero(sx == SEPARATOR)[0])
+    hh = heads_mod.extract_heads(index, ms, sx)
+    res = ms_pallas_heads(x_aug, sx, lanes=3, window=16, iters=32,
+                          segment_chars=512, ctx_chars=512,
+                          interpret=True)
+    assert res.h == hh.h, (res.h, hh.h)
+    np.testing.assert_array_equal(np.asarray(res.head_t)[:res.h], hh.t)
+    np.testing.assert_array_equal(np.asarray(res.head_pos)[:res.h], hh.pos)
+    np.testing.assert_array_equal(np.asarray(res.head_len)[:res.h],
+                                  hh.length)
