@@ -47,7 +47,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fan dense blocks out over all local devices")
     p.add_argument("--merge-backend", choices=["auto", "host", "device"],
                    default="auto",
-                   help="downstream merge engine (dense backend): host "
+                   help="downstream merge engine (dense/jump/pallas): host "
                         "numpy/OpenMP or device sorted joins (default auto)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="phase-boundary checkpoint/resume directory")

@@ -43,7 +43,8 @@ class Config:
                                     # chunk size of the fallback writers
 
     # --- TPU-native knobs (no reference equivalent) ---
-    backend: str = "auto"           # "host" (numpy), "device" (jax lanes),
+    backend: str = "auto"           # "host", "device", "dense", "jump",
+                                    # "pallas" (Mosaic kernel), or "auto";
                                     # "dense" (joint sort), "jump"
                                     # (head-jumping), "auto"
     lanes: int = 4096               # parallel MS cursors per device

@@ -115,7 +115,7 @@ def compute_bwt(cfg: Config) -> dict:
                                         build_reference_index_device)
             dindex = build_device_index(x_aug)
             index = _export_device_index(dindex, x_aug)
-        elif backend != "dense":
+        elif backend not in ("dense", "jump", "pallas"):
             index = build_reference_index(x_aug)
     with timer.phase("parse_collection"):
         coll = fasta.parse_collection(coll_path, sn_limit)
@@ -146,14 +146,18 @@ def compute_bwt(cfg: Config) -> dict:
                 from ..ops.ms_jump import ms_jump_heads
                 jres = ms_jump_heads(x_aug, coll.sx, lanes=cfg.lanes,
                                      window=cfg.skip_window)
-        # merge routing: explicit "host" wins; "auto" takes the host engine
-        # only for the accelerator SARS shape (the scan result is device-
-        # resident here, so the default stays on-chip)
-        route_host = cfg.merge_backend == "host" or (
-            cfg.merge_backend == "auto"
-            and _resolve_merge_backend("auto", n=len(x_aug),
-                                       sn=coll.sn) == "host"
-            and _on_accelerator())
+        # merge routing: explicit cfg wins, then the CMSBWT_MERGE_BACKEND
+        # env override, then auto = host only for the accelerator SARS
+        # shape (the scan result is device-resident here, so auto's
+        # default stays on-chip even on CPU-only processes)
+        _env_mb = os.environ.get("CMSBWT_MERGE_BACKEND")
+        if cfg.merge_backend != "auto":
+            route_host = cfg.merge_backend == "host"
+        elif _env_mb in ("host", "device"):
+            route_host = _env_mb == "host"
+        else:
+            route_host = _on_accelerator() and _resolve_merge_backend(
+                "auto", n=len(x_aug), sn=coll.sn) == "host"
         if route_host:
             # SARS-like shape: download the compacted heads and finish on
             # the native OpenMP engine (see _resolve_merge_backend)

@@ -84,10 +84,8 @@ def row_gather(tbl: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
 
 
 def _levels_for(nb: int) -> int:
-    lv = 1
-    while (1 << lv) <= nb:
-        lv += 1
-    return lv
+    from ..index.device import sparse_table_levels
+    return sparse_table_levels(nb)
 
 
 # ---------------------------------------------------------------------------
@@ -605,7 +603,7 @@ def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
     if interpret is None:
         # non-TPU platforms (CPU tests, virtual meshes) run the kernel in
         # the Pallas interpreter — same program, reference semantics
-        interpret = all(d.platform == "cpu" for d in jax.devices())
+        interpret = not any(d.platform == "tpu" for d in jax.devices())
     mark = _stage_timer()
     sn = int(len(sx))
     if index is None:
@@ -638,10 +636,8 @@ def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
     # factors that extend past the slice — the pallas form of the blocked
     # dense path's adaptive ctx) ---
     W = window
-    ROUNDS = 1
-    while (1 << ROUNDS) < n:
-        ROUNDS += 1
-    ROUNDS += 1
+    from .ms_device import _bs_rounds
+    ROUNDS = _bs_rounds(n)
 
     seg_chars = int(segment_chars)
     seg_chars = max(4 * BLOCK, (seg_chars // (4 * BLOCK)) * (4 * BLOCK))
@@ -655,10 +651,10 @@ def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
         while True:
             tail_all = (base + seg_sn + ctx) >= sn
             avail = min(sn - base, seg_sn + ctx)
-            slice_cap = _round_up(seg_chars + max(ctx, 1) + W + 4,
-                                  4 * BLOCK)
-            slice_cap = max(slice_cap,
-                            _round_up(avail + W + 4, 4 * BLOCK))
+            from ..utils.jaxcache import bucket_size as _bucket
+            slice_cap = _round_up(
+                _bucket(max(seg_chars, avail) + max(ctx, 1) + W + 4),
+                4 * BLOCK)
             sxp = np.zeros(slice_cap, np.uint8)
             sxp[:avail] = sxb[base:base + avail]
             sx4_row = jnp.asarray(
@@ -686,6 +682,7 @@ def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
                            interpret=interpret)
             seg_emits = []
             steps = 0
+            last_phi = -1
             while True:
                 out = ms_pallas_step(
                     x_row, sa_row, isa_row, lcp_row, g_row, ltree, gtree,
@@ -696,13 +693,20 @@ def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
                  st["fin"], st["done"], st["viol"]) = out[:8]
                 seg_emits.append(out[8:])
                 steps += 1
-                flags = np.asarray(jnp.stack(
-                    [jnp.any(st["done"] == 0), jnp.any(st["viol"] == 1)]))
+                # phi strictly increases while any lane works (t advances
+                # on emission/skip, length during extension) — a stalled
+                # phi across a whole step means genuinely stuck lanes
+                flags = np.asarray(jnp.stack([
+                    jnp.any(st["done"] == 0).astype(jnp.int64),
+                    jnp.any(st["viol"] == 1).astype(jnp.int64),
+                    (2 * jnp.sum(st["t"].astype(jnp.int64))
+                     + jnp.sum(st["ln"].astype(jnp.int64)))]))
                 if flags[1] or not flags[0]:
                     break
-                if steps > max(64, 8 * (chunk_len // max(iters, 1) + 2)):
+                if int(flags[2]) == last_phi:
                     raise RuntimeError(
-                        "ms_pallas: step runaway (lanes stuck)")
+                        "ms_pallas: no lane progress in a full step")
+                last_phi = int(flags[2])
             steps_total += steps
             if not bool(flags[1]):
                 break
@@ -723,9 +727,16 @@ def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
     sx4_all = jnp.asarray(
         np.frombuffer(sxp.tobytes(), "<i4").copy()).reshape(1, -1)
 
+    from ..utils.jaxcache import bucket_size as _bucket
     A = jnp.concatenate([e[0].reshape(-1) for e in emits])
     B = jnp.concatenate([e[1].reshape(-1) for e in emits])
     C = jnp.concatenate([e[2].reshape(-1) for e in emits])
+    flat_pad = _bucket(int(C.shape[0]))
+    if flat_pad > C.shape[0]:
+        padn = flat_pad - C.shape[0]
+        A = jnp.concatenate([A, jnp.zeros(padn, jnp.int32)])
+        B = jnp.concatenate([B, jnp.zeros(padn, jnp.int32)])
+        C = jnp.concatenate([C, jnp.full(padn, -1, jnp.int32)])
     total = int(np.asarray(jnp.sum((C >= 0).astype(jnp.int32))))
     h_pad = min(bucket_size(total + 1), int(C.shape[0]))
     t_h, pos_h, len_h, sml_h, chr_h, h_dev = _compact_emissions(
