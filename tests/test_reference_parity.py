@@ -144,3 +144,22 @@ def test_parity_dense_backend(tmp_path, ref_bin):
         ext = ".rl_bwt" if rle else ".bwt"
         assert (tmp_path / ("ours" + ext)).read_bytes() == \
             (tmp_path / ("ref" + ext)).read_bytes()
+
+
+def test_parity_pallas_backend(tmp_path, ref_bin):
+    """Pallas-kernel backend (interpret mode on CPU) vs the reference
+    binary, both formats."""
+    rng = np.random.default_rng(13)
+    ref = random_dna(rng, 800)
+    docs = [mutate(rng, ref, 0.008) for _ in range(4)]
+    lst, _, _ = make_inputs(tmp_path, ref, docs)
+    for rle in (False, True):
+        args = [ref_bin] + (["-r"] if rle else []) + \
+            ["-o", str(tmp_path / "ref"), str(lst)]
+        subprocess.run(args, check=True, capture_output=True)
+        cfg = Config(filename=str(lst), outname=str(tmp_path / "ours"),
+                     rle=rle, backend="pallas", lanes=8, skip_window=16)
+        compute_bwt(cfg)
+        ext = ".rl_bwt" if rle else ".bwt"
+        assert (tmp_path / ("ours" + ext)).read_bytes() == \
+            (tmp_path / ("ref" + ext)).read_bytes()
