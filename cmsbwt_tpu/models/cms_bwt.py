@@ -78,6 +78,32 @@ class CMSBWT:
             result = pipeline_mod.merge_from_heads(
                 index, heads, coll.d, coll.sn, rle_quirk, timer,
                 buffer_bytes=buffer_bytes)
+        elif backend in ("jump", "pallas"):
+            if backend == "pallas":
+                from ..ops.pallas_scan import ms_pallas_heads as _scan
+            else:
+                from ..ops.ms_jump import ms_jump_heads as _scan
+            with timer.phase("ms_scan"):
+                jres = _scan(self.x_aug, coll.sx, lanes=cfg.lanes,
+                             window=cfg.skip_window)
+            h = jres.h
+            from dataclasses import replace as _dc_replace
+            n = len(self.x_aug)
+            jres = _dc_replace(
+                jres,
+                head_t=np.asarray(jres.head_t)[:h].astype(np.int64),
+                head_pos=np.asarray(jres.head_pos)[:h].astype(np.int64),
+                head_len=np.asarray(jres.head_len)[:h].astype(np.int64),
+                head_smaller=np.asarray(jres.head_smaller)[:h],
+                head_char=np.asarray(jres.head_char)[:h].astype(np.uint8),
+                ref_sa=np.asarray(jres.ref_sa)[:n],
+                ref_isa=np.asarray(jres.ref_isa)[:n],
+                ref_bwt=np.asarray(jres.ref_bwt)[:n])
+            index, heads = pipeline_mod.dense_result_to_inputs(
+                self.x_aug, jres)
+            result = pipeline_mod.merge_from_heads(
+                index, heads, coll.d, coll.sn, rle_quirk, timer,
+                buffer_bytes=buffer_bytes)
         elif backend == "device":
             from ..index.device import build_device_index
             from ..ops.ms_device import ms_scan_device

@@ -35,3 +35,23 @@ def test_model_dense_backend(tmp_path):
     a = model.transform(str(coll_path), backend="host")
     b = model.transform(str(coll_path), backend="dense")
     assert a.bwt == b.bwt
+
+
+def test_model_jump_and_pallas_backends(tmp_path):
+    """CMSBWT.transform honors backend='jump'/'pallas' (head-jumping scan
+    into the shared merge engine); bytes match the host backend."""
+    import numpy as np
+    from helpers import mutate, random_dna
+    from cmsbwt_tpu.models.cms_bwt import CMSBWT
+    rng = np.random.default_rng(21)
+    ref = random_dna(rng, 600)
+    docs = [mutate(rng, ref, 0.01) for _ in range(3)]
+    coll_path = tmp_path / "coll.fa"
+    with open(coll_path, "wb") as f:
+        for i, d in enumerate(docs):
+            f.write(b">d%d\n" % i + d + b"\n")
+    model = CMSBWT(ref)
+    base = model.transform(str(coll_path), backend="host").bwt
+    for be in ("jump", "pallas"):
+        got = model.transform(str(coll_path), backend=be).bwt
+        assert got == base, be
