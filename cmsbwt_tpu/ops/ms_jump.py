@@ -95,6 +95,40 @@ def next_ge_device(gmax: jnp.ndarray, start: jnp.ndarray, t_val: jnp.ndarray,
     return jnp.minimum(res, n)
 
 
+def _psv_nsv_fused(jump, pi, ni, ub, n: int):
+    """(psv_device(jump, pi, ub, n), nsv_device(jump, ni, ub, n)) with the
+    two descents' per-level gathers fused into one (XLA gathers on this
+    chip are latency-bound at lane counts <= ~8K, so halving the number of
+    dependent gather rounds nearly halves the adjust phase)."""
+    levels = jump.shape[0]
+    L = pi.shape[0]
+    dp = jnp.zeros_like(pi)
+    dn = jnp.zeros_like(ni)
+
+    def level(carry, k):
+        dp, dn = carry
+        w = jnp.int32(1) << k
+        sp = pi - dp - w + 1
+        okp = sp >= 0
+        sn_ = ni + dn
+        okn = sn_ + w <= n
+        q = jnp.concatenate([jnp.maximum(sp, 0),
+                             jnp.minimum(sn_, n - 1)])
+        vals = jump[k][q]
+        vp = vals[:L]
+        vn = vals[L:]
+        dp = dp + jnp.where(okp & (vp >= ub), w, 0)
+        dn = dn + jnp.where(okn & (vn >= ub), w, 0)
+        return (dp, dn), None
+
+    (dp, dn), _ = jax.lax.scan(
+        level, (dp, dn), jnp.arange(levels - 1, -1, -1, dtype=jnp.int32))
+    rp = pi - dp
+    rn = ni + dn
+    return (jnp.where(rp >= 0, rp, -1),
+            jnp.where(rn < n, rn, -1))
+
+
 @functools.partial(jax.jit,
                    static_argnames=("n", "sn", "cap", "window",
                                     "max_iters"),
@@ -146,28 +180,39 @@ def ms_jump_step(x_padded, sa, isa, plcp, jump, gmax, sx_padded,
         nons = act & ~sep_emit & (lb != rb)
         c = sx_padded[jnp.clip(j_abs, 0, sn + W - 1)]
 
-        def bs_round(carry, _):
-            lo1, hi1, lo2, hi2 = carry
+        def bs_cond(carry):
+            lo1, hi1, lo2, hi2, r = carry
+            live = nons & ((lo1 < hi1) | (lo2 < hi2))
+            return jnp.any(live) & (r < ROUNDS)
+
+        def bs_round(carry):
+            lo1, hi1, lo2, hi2, r = carry
             m1 = (lo1 + hi1) >> 1
-            k1 = _key_at(x_padded, sa, m1, length, n)
+            m2 = (lo2 + hi2) >> 1
+            # one fused probe pair: gather SA then text for both bounds
+            m12 = jnp.concatenate([m1, m2])
+            s12 = sa[jnp.clip(m12, 0, n - 1)]
+            len2 = jnp.concatenate([length, length])
+            k12 = x_padded[jnp.clip(s12 + len2, 0,
+                                    x_padded.shape[0] - 1)]
+            k1 = k12[:m1.shape[0]]
+            k2 = k12[m1.shape[0]:]
             go1 = k1 < c
             lo1n = jnp.where(go1, m1 + 1, lo1)
             hi1n = jnp.where(go1, hi1, m1)
             a1 = lo1 < hi1
             lo1 = jnp.where(a1, lo1n, lo1)
             hi1 = jnp.where(a1, hi1n, hi1)
-            m2 = (lo2 + hi2) >> 1
-            k2 = _key_at(x_padded, sa, m2, length, n)
             go2 = k2 <= c
             lo2n = jnp.where(go2, m2 + 1, lo2)
             hi2n = jnp.where(go2, hi2, m2)
             a2 = lo2 < hi2
             lo2 = jnp.where(a2, lo2n, lo2)
             hi2 = jnp.where(a2, hi2n, hi2)
-            return (lo1, hi1, lo2, hi2), None
+            return lo1, hi1, lo2, hi2, r + 1
 
-        (lower, _, upper, _), _ = jax.lax.scan(
-            bs_round, (lb, rb + 1, lb, rb + 1), None, length=ROUNDS)
+        lower, _, upper, _, _ = jax.lax.while_loop(
+            bs_cond, bs_round, (lb, rb + 1, lb, rb + 1, jnp.int32(0)))
         bs_found = nons & (lower < upper)
         insertion = lower
         at_end = insertion == rb + 1
@@ -246,9 +291,8 @@ def ms_jump_step(x_padded, sa, isa, plcp, jump, gmax, sx_padded,
         qhi = jnp.where(adj_sgl,
                         isa[jnp.clip(pos + 1, 0, n - 1)],
                         isa[jnp.clip(sufhi + 1, 0, n - 1)])
-        p = psv_device(jump, qlo, length, n)
+        p, qn = _psv_nsv_fused(jump, qlo, qhi + 1, length, n)
         p = jnp.where(p == -1, 0, p)
-        qn = nsv_device(jump, qhi + 1, length, n)
         qn = jnp.where(qn == -1, n - 1, qn - 1)
         adj_apply = alive & ~at_root
         lb = jnp.where(adj_apply, p, jnp.where(at_root, 0, lb))
