@@ -104,6 +104,17 @@ def compute_bwt(cfg: Config) -> dict:
     with timer.phase("load_reference"):
         ref = fasta.load_reference_bytes(ref_path)
         x_aug = fasta.augment_reference(ref)
+    if len(x_aug) >= 2**31:
+        # the reference binary's own hard cap (int32 libsais SA, ref
+        # CMS-BWT-functions.cpp:246, CMS-BWT.h:44); our int32 device
+        # paths share it. The sharded int64 index that lifts it is
+        # prototyped (parallel/sharded_index.py, docs/giant_references.md)
+        # but not yet routed through the full pipeline.
+        raise ValueError(
+            f"reference is {len(x_aug)} chars (>= 2^31): beyond the int32 "
+            "index paths (the reference tool's own cap). See "
+            "docs/giant_references.md and parallel/sharded_index.py for "
+            "the sharded int64 design.")
     sn_limit = fasta.collection_sn_limit(coll_path, cfg.prefix_length)
     coll_chars = min(os.path.getsize(coll_path), cfg.prefix_length)
     backend = _resolve_backend(cfg.backend, coll_chars)
