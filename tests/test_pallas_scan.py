@@ -209,3 +209,31 @@ def test_pallas_segmented_viol_retry():
     np.testing.assert_array_equal(np.asarray(res.head_pos)[:res.h], hh.pos)
     np.testing.assert_array_equal(np.asarray(res.head_len)[:res.h],
                                   hh.length)
+
+
+@pytest.mark.parametrize("docs_spec", [
+    [b""],                      # single empty document
+    [b"A"],                     # single char
+    [b"", b"ACG", b""],         # empty docs between real ones
+])
+def test_pallas_tiny_collections(docs_spec):
+    from cmsbwt_tpu.engine import heads as heads_mod
+    from cmsbwt_tpu.engine.ms_host import ms_scan_collection
+    from cmsbwt_tpu.index.host import build_reference_index
+    from cmsbwt_tpu.io.fasta import SEPARATOR, augment_reference
+    from cmsbwt_tpu.ops.pallas_scan import ms_pallas_heads
+    ref = b"ACGTACGTAC"
+    docs = [np.frombuffer(d, np.uint8) for d in docs_spec]
+    sep = np.full(1, SEPARATOR, np.uint8)
+    sx = np.concatenate([sep] + [np.concatenate([d, sep]) for d in docs])
+    x_aug = np.frombuffer(augment_reference(ref), np.uint8)
+    index = build_reference_index(x_aug)
+    ms = ms_scan_collection(index, sx, np.nonzero(sx == SEPARATOR)[0])
+    hh = heads_mod.extract_heads(index, ms, sx)
+    res = ms_pallas_heads(x_aug, sx, lanes=2, window=16, iters=8,
+                          interpret=True)
+    assert res.h == hh.h
+    np.testing.assert_array_equal(np.asarray(res.head_t)[:res.h], hh.t)
+    np.testing.assert_array_equal(np.asarray(res.head_pos)[:res.h], hh.pos)
+    np.testing.assert_array_equal(np.asarray(res.head_len)[:res.h],
+                                  hh.length)
