@@ -57,7 +57,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             x_dev_cache[dev] = jax.device_put(jnp.asarray(x_u8_pad), dev)
         return x_dev_cache[dev]
 
-    def build_j(blk, dev):
+    def _sx_block(blk):
         b0, emit, ctx = blk["b0"], blk["emit"], blk["ctx"]
         end = min(b0 + emit + ctx, sn)
         sx_blk = sx[b0:end]
@@ -67,14 +67,36 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             bs_pad = bucket_size(bs_pad + 1)  # joint must end special
         sx_u8 = np.zeros(bs_pad, np.uint8)
         sx_u8[: len(sx_blk)] = sx_blk
-        sep_base = int(sep_cum[b0 - 1]) if b0 > 0 else 0
+        return sx_u8, bs_pad, len(sx_blk)
+
+    # upload prefetch: device_put is async, so the NEXT wave's collection
+    # blocks ride the host link while the current wave computes
+    # (VERDICT r1 item 9 — the 33-60 MB/s tunnel is the scarce resource)
+    uploads: dict = {}
+
+    def upload_sx(bi, dev):
+        blk = blocks[bi]
+        key = (bi, blk["ctx"])
+        if key not in uploads:
+            sx_u8, bs_pad, len_blk = _sx_block(blk)
+            uploads[key] = (jax.device_put(jnp.asarray(sx_u8), dev),
+                            bs_pad, len_blk)
+        return uploads[key]
+
+    def prefetch(wave_next):
+        for i, bi in enumerate(wave_next):
+            upload_sx(bi, devices[i % len(devices)])
+
+    def build_j(blk, bi, dev):
+        sx_dev, bs_pad, len_blk = upload_sx(bi, dev)
+        uploads.pop((bi, blk["ctx"]), None)
+        sep_base = int(sep_cum[blk["b0"] - 1]) if blk["b0"] > 0 else 0
         blk["bs_pad"] = bs_pad
         blk["m"] = n_pad + bs_pad
-        blk["len_blk"] = len(sx_blk)
+        blk["len_blk"] = len_blk
         return MD._build_joint_device(
-            ref_on(dev),
-            jax.device_put(jnp.asarray(sx_u8), dev),
-            jnp.int32(n), jnp.int32(len(sx_blk)),
+            ref_on(dev), sx_dev,
+            jnp.int32(n), jnp.int32(len_blk),
             jnp.int32(sep_base), n_pad, bs_pad)
 
     if blocks_in_flight is None:
@@ -109,7 +131,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
         for i, bi in enumerate(wave):
             blk = blocks[bi]
             dev = devices[i % len(devices)]
-            b, sp = build_j(blk, dev)
+            b, sp = build_j(blk, bi, dev)
             sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(
                 b, sp, blk["m"])
             stats_dev, ai_all, bi_all, lv_all = MD._irreducible_slots(
@@ -117,6 +139,8 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
                 jnp.int32(blk["len_blk"]), blk["m"], n_pad)
             stage.append((bi, b, sa, isa, hist, pack8, stats_dev,
                           ai_all, bi_all, lv_all))
+        # overlap: enqueue the next wave's uploads behind pass 1's compute
+        prefetch(pending[:blocks_in_flight])
         # pass 2: lift -> neighbors -> assemble -> postprocess
         out = []
         for (bi, bjoint, sa, isa, hist, pack8, stats_dev, ai_all,
@@ -152,6 +176,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             end = min(blk["b0"] + blk["emit"] + blk["ctx"], sn)
             h, viol, last_pos = (int(v) for v in np.asarray(scalars))
             if viol and end < sn:
+                uploads.pop((bi, blk["ctx"]), None)  # stale prefetch
                 blk["ctx"] *= 2
                 new_pending.append(bi)
                 continue
