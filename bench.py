@@ -83,6 +83,28 @@ def main():
     tmp = pathlib.Path(tempfile.mkdtemp(prefix="cmsbench_"))
     lst = make_workload(tmp, ref_mbp, ndocs, snp)
 
+    # accelerator health check: a crashed/unavailable TPU worker must not
+    # leave the driver without a bench line. The check runs in a
+    # SUBPROCESS with a timeout because a wedged axon init blocks for
+    # ~25 min in-process; on failure the bench falls back to the CPU
+    # platform (flagged on stderr — the number then reflects CPU XLA).
+    platform = "tpu"
+    try:
+        probe = subprocess.run(
+            [sys.executable, "-u", "-c",
+             "import jax; jax.devices(); print('ok')"],
+            capture_output=True, timeout=300, check=False)
+        healthy = probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        healthy = False
+    if not healthy:
+        print("# accelerator unavailable; falling back to CPU platform",
+              file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu"
+
     from cmsbwt_tpu.config import Config
     from cmsbwt_tpu.engine.pipeline import compute_bwt
 
@@ -120,7 +142,8 @@ def main():
     }
     print(json.dumps(line))
     print(f"# sn={sn} ours={ours_s:.2f}s ref={ref_s:.2f}s "
-          f"byte_equal={equal} backend={backend}", file=sys.stderr)
+          f"byte_equal={equal} backend={backend} platform={platform}",
+          file=sys.stderr)
 
 
 if __name__ == "__main__":
