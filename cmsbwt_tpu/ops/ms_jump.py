@@ -43,9 +43,9 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import SEPARATOR
-from ..index.device import (DeviceIndex, build_device_index, nsv_device,
-                            psv_device, sparse_table_levels)
-from .ms_device import _bs_rounds, _key_at
+from ..index.device import (DeviceIndex, build_device_index,
+                            sparse_table_levels)
+from .ms_device import _bs_rounds
 
 INT_MAX = np.int32(2**31 - 1)
 
