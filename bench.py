@@ -139,6 +139,7 @@ def main():
         "value": round(ours_tput, 3),
         "unit": "Mchars/s",
         "vs_baseline": round(vs, 4),
+        "platform": platform,
     }
     print(json.dumps(line))
     print(f"# sn={sn} ours={ours_s:.2f}s ref={ref_s:.2f}s "
