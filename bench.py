@@ -15,7 +15,7 @@ Workload (override via env):
   BENCH_SNP       SNP rate                     (default 0.01 — the E. coli
                   strain-collection divergence regime, BASELINE.json
                   config #2; 0.001 reproduces the pangenome toy config)
-  BENCH_BACKEND   dense | device | host        (default dense)
+  BENCH_BACKEND   dense | pallas | jump | device | host  (default dense)
   BENCH_BLOCK_CHARS  dense backend: stream the collection in blocks of
                   this many chars (default: single joint sort)
 """
