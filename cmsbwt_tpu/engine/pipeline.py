@@ -148,15 +148,25 @@ def compute_bwt(cfg: Config) -> dict:
         # on device; the device merge finishes the pipeline.
         from .device_merge import merge_heads_device_resident
         rq = cfg.rle and cfg.replicate_reference_rle_quirk
-        with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
-            if backend == "pallas":
-                from ..ops.pallas_scan import ms_pallas_heads
-                jres = ms_pallas_heads(x_aug, coll.sx, lanes=cfg.lanes,
-                                       window=cfg.skip_window)
-            else:
-                from ..ops.ms_jump import ms_jump_heads
-                jres = ms_jump_heads(x_aug, coll.sx, lanes=cfg.lanes,
-                                     window=cfg.skip_window)
+        try:
+            with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
+                if backend == "pallas":
+                    from ..ops.pallas_scan import ms_pallas_heads
+                    jres = ms_pallas_heads(x_aug, coll.sx, lanes=cfg.lanes,
+                                           window=cfg.skip_window)
+                else:
+                    from ..ops.ms_jump import ms_jump_heads
+                    jres = ms_jump_heads(x_aug, coll.sx, lanes=cfg.lanes,
+                                         window=cfg.skip_window)
+        except Exception as e:
+            # a Mosaic lowering/runtime failure on this platform must not
+            # strand the run — the dense path computes the same answer
+            import sys as _sys
+            from dataclasses import replace as _dc_replace
+            print(f"cmsbwt: {backend} backend failed "
+                  f"({type(e).__name__}: {str(e)[:200]}); "
+                  "falling back to backend=dense", file=_sys.stderr)
+            return compute_bwt(_dc_replace(cfg, backend="dense"))
         # merge routing: explicit cfg wins, then the CMSBWT_MERGE_BACKEND
         # env override, then auto = host only for the accelerator SARS
         # shape (the scan result is device-resident here, so auto's
