@@ -104,6 +104,12 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
         platform = "cpu"
+        if "BENCH_BACKEND" not in os.environ:
+            # best measured CPU path at the bench config: the jump scan
+            # into the native OpenMP merge (41 s vs ~3-5x worse for the
+            # CPU joint sort at 20 Mchars)
+            backend = "jump"
+            os.environ.setdefault("CMSBWT_MERGE_BACKEND", "host")
 
     from cmsbwt_tpu.config import Config
     from cmsbwt_tpu.engine.pipeline import compute_bwt
