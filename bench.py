@@ -106,10 +106,13 @@ def main():
         platform = "cpu"
         if "BENCH_BACKEND" not in os.environ:
             # best measured CPU path at the bench config: the jump scan
-            # into the native OpenMP merge (41 s vs ~3-5x worse for the
-            # CPU joint sort at 20 Mchars)
+            # at 1024 lanes into the native OpenMP merge (24 s; lane
+            # sweep 256..16384 bottoms at 1024 — CPU XLA is element-
+            # bound, unlike the latency-bound TPU gathers — vs ~3x
+            # worse for the CPU joint sort at 20 Mchars)
             backend = "jump"
             os.environ.setdefault("CMSBWT_MERGE_BACKEND", "host")
+            os.environ.setdefault("BENCH_CPU_LANES", "1024")
 
     from cmsbwt_tpu.config import Config
     from cmsbwt_tpu.engine.pipeline import compute_bwt
@@ -117,6 +120,9 @@ def main():
     cfg = Config(filename=str(lst), outname=str(tmp / "ours"),
                  backend=backend,
                  dense_block_chars=int(block_chars) if block_chars else None)
+    if os.environ.get("BENCH_CPU_LANES"):
+        from dataclasses import replace
+        cfg = replace(cfg, lanes=int(os.environ["BENCH_CPU_LANES"]))
     # warm-up run compiles all kernels (cached for the timed runs); best of
     # two timed runs — host memory bandwidth and device queue latency vary
     # several-fold run to run on shared machines
