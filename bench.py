@@ -92,7 +92,8 @@ def main():
     try:
         probe = subprocess.run(
             [sys.executable, "-u", "-c",
-             "import jax; jax.devices(); print('ok')"],
+             "import jax; assert any(d.platform != 'cpu' "
+             "for d in jax.devices()); print('ok')"],
             capture_output=True, timeout=300, check=False)
         healthy = probe.returncode == 0
     except subprocess.TimeoutExpired:

@@ -182,19 +182,8 @@ def compute_bwt(cfg: Config) -> dict:
         if route_host:
             # SARS-like shape: download the compacted heads and finish on
             # the native OpenMP engine (see _resolve_merge_backend)
-            from dataclasses import replace as _dc_replace
-            h = jres.h
-            jres = _dc_replace(
-                jres,
-                head_t=np.asarray(jres.head_t)[:h].astype(np.int64),
-                head_pos=np.asarray(jres.head_pos)[:h].astype(np.int64),
-                head_len=np.asarray(jres.head_len)[:h].astype(np.int64),
-                head_smaller=np.asarray(jres.head_smaller)[:h],
-                head_char=np.asarray(jres.head_char)[:h].astype(np.uint8),
-                ref_sa=np.asarray(jres.ref_sa)[:len(x_aug)],
-                ref_isa=np.asarray(jres.ref_isa)[:len(x_aug)],
-                ref_bwt=np.asarray(jres.ref_bwt)[:len(x_aug)])
-            index, heads = dense_result_to_inputs(x_aug, jres)
+            index, heads = dense_result_to_inputs(
+                x_aug, download_heads_result(jres, len(x_aug)))
             result = merge_from_heads(index, heads, coll.d, coll.sn,
                                       rle_quirk=rq, timer=timer,
                                       buffer_bytes=cfg.buffer_gib << 30)
@@ -338,6 +327,24 @@ def merge_from_heads_device(x_aug: np.ndarray, dres, d: int, sn: int,
             want_counter=want_counter)
     return PipelineResult(run_len=run_len, run_char=run_char, d=d, sn=sn,
                           h=dres.h, counter=counter)
+
+
+def download_heads_result(jres, n: int):
+    """Device-resident DeviceHeadsResult -> host DenseHeadsResult layout:
+    head arrays sliced to h as int64, reference arrays sliced to n (the
+    host merge engine expects unpadded arrays)."""
+    from dataclasses import replace as _dc_replace
+    h = jres.h
+    return _dc_replace(
+        jres,
+        head_t=np.asarray(jres.head_t)[:h].astype(np.int64),
+        head_pos=np.asarray(jres.head_pos)[:h].astype(np.int64),
+        head_len=np.asarray(jres.head_len)[:h].astype(np.int64),
+        head_smaller=np.asarray(jres.head_smaller)[:h],
+        head_char=np.asarray(jres.head_char)[:h].astype(np.uint8),
+        ref_sa=np.asarray(jres.ref_sa)[:n],
+        ref_isa=np.asarray(jres.ref_isa)[:n],
+        ref_bwt=np.asarray(jres.ref_bwt)[:n])
 
 
 def dense_result_to_inputs(x_aug: np.ndarray, dres):

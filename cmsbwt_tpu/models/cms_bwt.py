@@ -45,12 +45,22 @@ class CMSBWT:
         else:
             self.x_aug = np.asarray(reference, dtype=np.uint8)
         self._host_index: Optional[ReferenceIndex] = None
+        self._device_index = None
 
     @property
     def index(self) -> ReferenceIndex:
         if self._host_index is None:
             self._host_index = build_reference_index(self.x_aug)
         return self._host_index
+
+    @property
+    def device_index(self):
+        """Device-built reference index (index/device.DeviceIndex), built
+        once and reused by every jump/pallas transform."""
+        if self._device_index is None:
+            from ..index.device import build_device_index
+            self._device_index = build_device_index(self.x_aug)
+        return self._device_index
 
     def transform(self, collection: str | fasta.Collection,
                   rle: bool = False,
@@ -79,28 +89,19 @@ class CMSBWT:
                 index, heads, coll.d, coll.sn, rle_quirk, timer,
                 buffer_bytes=buffer_bytes)
         elif backend in ("jump", "pallas"):
+            # the device reference index is cached on the model: transform
+            # amortizes it across collections (the class's whole point)
             if backend == "pallas":
                 from ..ops.pallas_scan import ms_pallas_heads as _scan
             else:
                 from ..ops.ms_jump import ms_jump_heads as _scan
             with timer.phase("ms_scan"):
                 jres = _scan(self.x_aug, coll.sx, lanes=cfg.lanes,
-                             window=cfg.skip_window)
-            h = jres.h
-            from dataclasses import replace as _dc_replace
-            n = len(self.x_aug)
-            jres = _dc_replace(
-                jres,
-                head_t=np.asarray(jres.head_t)[:h].astype(np.int64),
-                head_pos=np.asarray(jres.head_pos)[:h].astype(np.int64),
-                head_len=np.asarray(jres.head_len)[:h].astype(np.int64),
-                head_smaller=np.asarray(jres.head_smaller)[:h],
-                head_char=np.asarray(jres.head_char)[:h].astype(np.uint8),
-                ref_sa=np.asarray(jres.ref_sa)[:n],
-                ref_isa=np.asarray(jres.ref_isa)[:n],
-                ref_bwt=np.asarray(jres.ref_bwt)[:n])
+                             window=cfg.skip_window,
+                             index=self.device_index)
             index, heads = pipeline_mod.dense_result_to_inputs(
-                self.x_aug, jres)
+                self.x_aug,
+                pipeline_mod.download_heads_result(jres, len(self.x_aug)))
             result = pipeline_mod.merge_from_heads(
                 index, heads, coll.d, coll.sn, rle_quirk, timer,
                 buffer_bytes=buffer_bytes)

@@ -266,7 +266,7 @@ def next_ge_row(g_row, gtree_row, nb: int, levels: int, start, t_val,
 # The kernel
 # ---------------------------------------------------------------------------
 
-SEPARATOR = 2  # config.SEPARATOR (kept literal: kernel module stays light)
+from ..config import SEPARATOR
 
 
 def _unpack_window(words: jnp.ndarray, a: jnp.ndarray, W: int):
@@ -547,6 +547,16 @@ def ms_pallas_step(x_row, sa_row, isa_row, lcp_row, g_row, ltree_row,
 INT_MAX = np.int32(2**31 - 1)
 
 
+@functools.partial(jax.jit, static_argnames=("keep",))
+def _filter_valid(A, B, C, keep: int):
+    """Compact valid emission rows (C >= 0) to the front, slice to
+    ``keep`` (a bucketed bound on the valid count)."""
+    k = jnp.where(C >= 0, 0, 1).astype(jnp.int32)
+    _, Af, Bf, Cf = jax.lax.sort((k, A, B, C), num_keys=1)
+    sl = lambda a: jax.lax.dynamic_slice(a, (0,), (keep,))
+    return sl(Af), sl(Bf), sl(Cf)
+
+
 @functools.partial(jax.jit, static_argnames=("sn", "h_pad", "sn_cap"))
 def _compact_emissions(A, B, C, sx4_row, sn: int, sn_cap: int, h_pad: int):
     """Flat emission buffers -> compacted head arrays (+ head char), the
@@ -651,9 +661,8 @@ def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
         while True:
             tail_all = (base + seg_sn + ctx) >= sn
             avail = min(sn - base, seg_sn + ctx)
-            from ..utils.jaxcache import bucket_size as _bucket
             slice_cap = _round_up(
-                _bucket(max(seg_chars, avail) + max(ctx, 1) + W + 4),
+                bucket_size(max(seg_chars, avail) + max(ctx, 1) + W + 4),
                 4 * BLOCK)
             sxp = np.zeros(slice_cap, np.uint8)
             sxp[:avail] = sxb[base:base + avail]
@@ -714,9 +723,17 @@ def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
             # widen geometrically and redo the segment (rare: needs a
             # factor longer than ctx at a segment boundary)
             ctx = min(max(ctx * 4, 1 << 16), max(sn - (base + seg_sn), 0))
+        # compact this segment's emissions (the raw (iters, L) buffers
+        # are >90% empty rows; keeping them all until the end would pin
+        # O(steps * iters * L) HBM)
         off = jnp.int32(base)
-        for eA, eB, eC in seg_emits:
-            emits.append((eA, eB, jnp.where(eC >= 0, eC + off, -1)))
+        segA = jnp.concatenate([e[0].reshape(-1) for e in seg_emits])
+        segB = jnp.concatenate([e[1].reshape(-1) for e in seg_emits])
+        segC = jnp.concatenate([e[2].reshape(-1) for e in seg_emits])
+        segC = jnp.where(segC >= 0, segC + off, -1)
+        nvalid = int(np.asarray(jnp.sum((segC >= 0).astype(jnp.int32))))
+        keep = min(bucket_size(nvalid + 1), int(segC.shape[0]))
+        emits.append(_filter_valid(segA, segB, segC, keep))
         base += seg_sn
     mark("pallas_scan(steps=%d)" % steps_total)
 
@@ -727,11 +744,10 @@ def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
     sx4_all = jnp.asarray(
         np.frombuffer(sxp.tobytes(), "<i4").copy()).reshape(1, -1)
 
-    from ..utils.jaxcache import bucket_size as _bucket
-    A = jnp.concatenate([e[0].reshape(-1) for e in emits])
-    B = jnp.concatenate([e[1].reshape(-1) for e in emits])
-    C = jnp.concatenate([e[2].reshape(-1) for e in emits])
-    flat_pad = _bucket(int(C.shape[0]))
+    A = jnp.concatenate([e[0] for e in emits])
+    B = jnp.concatenate([e[1] for e in emits])
+    C = jnp.concatenate([e[2] for e in emits])
+    flat_pad = bucket_size(int(C.shape[0]))
     if flat_pad > C.shape[0]:
         padn = flat_pad - C.shape[0]
         A = jnp.concatenate([A, jnp.zeros(padn, jnp.int32)])

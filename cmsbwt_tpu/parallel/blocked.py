@@ -76,7 +76,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
 
     def upload_sx(bi, dev):
         blk = blocks[bi]
-        key = (bi, blk["ctx"])
+        key = (bi, blk["ctx"], getattr(dev, "id", repr(dev)))
         if key not in uploads:
             sx_u8, bs_pad, len_blk = _sx_block(blk)
             uploads[key] = (jax.device_put(jnp.asarray(sx_u8), dev),
@@ -89,7 +89,7 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
 
     def build_j(blk, bi, dev):
         sx_dev, bs_pad, len_blk = upload_sx(bi, dev)
-        uploads.pop((bi, blk["ctx"]), None)
+        uploads.pop((bi, blk["ctx"], getattr(dev, "id", repr(dev))), None)
         sep_base = int(sep_cum[blk["b0"] - 1]) if blk["b0"] > 0 else 0
         blk["bs_pad"] = bs_pad
         blk["m"] = n_pad + bs_pad
@@ -176,7 +176,8 @@ def ms_dense_heads_parallel(x_aug: np.ndarray, sx: np.ndarray,
             end = min(blk["b0"] + blk["emit"] + blk["ctx"], sn)
             h, viol, last_pos = (int(v) for v in np.asarray(scalars))
             if viol and end < sn:
-                uploads.pop((bi, blk["ctx"]), None)  # stale prefetch
+                for k in [k for k in uploads if k[0] == bi]:
+                    uploads.pop(k, None)  # stale prefetches
                 blk["ctx"] *= 2
                 new_pending.append(bi)
                 continue

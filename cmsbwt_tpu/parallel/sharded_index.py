@@ -106,9 +106,9 @@ def _sample_sort(k1, k2, v, local: int, n_shards: int, kmax):
     """Globally sort (k1, k2, v) rows by (k1, k2) across the mesh axis.
 
     Returns (k1, k2, v, valid) in padded irregular layout: each shard holds
-    a sorted slice of the global order, ``valid`` rows of it real, plus an
-    overflow flag (always 0 — capacity is provably sufficient — kept as a
-    runtime assert for the test harness).
+    a sorted slice of the global order, ``valid`` rows of it real. No
+    overflow is possible: a source holds ``local`` rows total, so no
+    per-(source, destination) bucket can exceed the ``local`` capacity.
 
     Padded-bucket all_to_all: destination capacity = local since no shard
     can receive more than the whole global share of... each source sends
