@@ -104,24 +104,29 @@ def compute_bwt(cfg: Config) -> dict:
     with timer.phase("load_reference"):
         ref = fasta.load_reference_bytes(ref_path)
         x_aug = fasta.augment_reference(ref)
-    if len(x_aug) >= 2**31:
-        # the reference binary's own hard cap (int32 libsais SA, ref
-        # CMS-BWT-functions.cpp:246, CMS-BWT.h:44); our int32 device
-        # paths share it. The sharded int64 index that lifts it is
-        # prototyped (parallel/sharded_index.py, docs/giant_references.md)
-        # but not yet routed through the full pipeline.
+    # references at/above the int32 bound (the reference binary's own hard
+    # cap: int32 libsais SA, ref CMS-BWT-functions.cpp:246, CMS-BWT.h:44)
+    # route through the sharded int64 index (parallel/sharded_index.py,
+    # docs/giant_references.md item 4). The threshold is overridable so the
+    # int64 route is CI-testable at toy scale.
+    giant = len(x_aug) >= _giant_threshold()
+    if giant and cfg.backend not in ("auto", "host"):
         raise ValueError(
-            f"reference is {len(x_aug)} chars (>= 2^31): beyond the int32 "
-            "index paths (the reference tool's own cap). See "
-            "docs/giant_references.md and parallel/sharded_index.py for "
-            "the sharded int64 design.")
+            f"reference is {len(x_aug)} chars (>= the int32 index bound): "
+            f"backend={cfg.backend} uses int32 device paths (the reference "
+            "tool's own cap). Giant references route backend=auto/host "
+            "through the sharded int64 index (docs/giant_references.md).")
     sn_limit = fasta.collection_sn_limit(coll_path, cfg.prefix_length)
     coll_chars = min(os.path.getsize(coll_path), cfg.prefix_length)
-    backend = _resolve_backend(cfg.backend, coll_chars)
+    backend = "host" if giant else _resolve_backend(cfg.backend, coll_chars)
     dindex = None
     index = None
     with timer.phase("build_index"):
-        if backend == "device":
+        if giant:
+            from ..parallel.sharded_index import (
+                build_sharded_reference_index)
+            index = build_sharded_reference_index(x_aug)
+        elif backend == "device":
             from ..index.device import (build_device_index,
                                         build_reference_index_device)
             dindex = build_device_index(x_aug)
@@ -408,6 +413,14 @@ def _write_outputs(cfg: Config, outname: str, index: ReferenceIndex,
 # pipeline even with a warm compile cache (dispatch/transfer overheads
 # dominate; measured crossover is around a few Mchars on v5e).
 AUTO_DENSE_MIN_CHARS = 2_000_000
+
+
+def _giant_threshold() -> int:
+    """Reference length at which the int32 index paths stop and the sharded
+    int64 route takes over. Defaults to the int32 bound; the env override
+    lets CI exercise the giant route at toy scale
+    (docs/giant_references.md §validation)."""
+    return int(os.environ.get("CMSBWT_GIANT_THRESHOLD", 1 << 31))
 
 
 def _on_accelerator() -> bool:

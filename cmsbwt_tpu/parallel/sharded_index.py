@@ -473,3 +473,28 @@ def _sharded_sa_history_program(mesh, x_sh, n, local: int, n_shards: int,
         body, mesh=mesh,
         in_specs=(P(AXIS), P()),
         out_specs=(P(AXIS), P(AXIS), P(None, AXIS)))(x_sh, n)
+
+
+def build_sharded_reference_index(x_aug: np.ndarray,
+                                  n_devices: int | None = None):
+    """Full ``ReferenceIndex`` built by the sharded int64 pipeline — the
+    giant-reference route of ``engine/pipeline.compute_bwt``
+    (docs/giant_references.md item 4; lifts the reference tool's int32 cap,
+    ref ``CMS-BWT-functions.cpp:246``).
+
+    SA/ISA/LCP come from the shard-parallel doubling sort + LCP lift; the
+    PLCP skip bound and reference BWT are the same O(n) maps the host
+    builder uses (ref ``:272-274`` and ``:294-297``), computed on int64
+    indices. The downstream host engine (scan/merge) is dtype-agnostic and
+    ``engine/tails.py`` switches to two-key comparisons above the packing
+    bound, so the whole pipeline stays exact at any n the aggregate memory
+    of the mesh (and this host view) can hold."""
+    from ..index.host import ReferenceIndex, plcp_skip_bound
+    sa, isa, lcp = sharded_suffix_array_with_lcp(x_aug, n_devices=n_devices)
+    plcp = plcp_skip_bound(lcp, isa)
+    bwt = np.where(sa > 0, x_aug[np.maximum(sa - 1, 0)],
+                   np.uint8(0)).astype(np.uint8)
+    x_padded = np.concatenate([x_aug, np.zeros(1, np.uint8)])
+    return ReferenceIndex(x=x_aug, x_padded=x_padded, n=len(x_aug),
+                          sa=sa, isa=isa, lcp=lcp, plcp=plcp, bwt=bwt,
+                          rank_history=[])
