@@ -153,15 +153,20 @@ def compute_bwt(cfg: Config) -> dict:
         # on device; the device merge finishes the pipeline.
         from .device_merge import merge_heads_device_resident
         rq = cfg.rle and cfg.replicate_reference_rle_quirk
+        lanes = cfg.lanes
+        if cfg.backend == "auto" and not _on_accelerator():
+            # auto-resolved CPU jump: the TPU lane default over-subscribes
+            # the element-bound CPU backend (see AUTO_CPU_JUMP_LANES)
+            lanes = min(lanes, AUTO_CPU_JUMP_LANES)
         try:
             with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
                 if backend == "pallas":
                     from ..ops.pallas_scan import ms_pallas_heads
-                    jres = ms_pallas_heads(x_aug, coll.sx, lanes=cfg.lanes,
+                    jres = ms_pallas_heads(x_aug, coll.sx, lanes=lanes,
                                            window=cfg.skip_window)
                 else:
                     from ..ops.ms_jump import ms_jump_heads
-                    jres = ms_jump_heads(x_aug, coll.sx, lanes=cfg.lanes,
+                    jres = ms_jump_heads(x_aug, coll.sx, lanes=lanes,
                                          window=cfg.skip_window)
         except Exception as e:
             # a Mosaic lowering/runtime failure on this platform must not
@@ -462,12 +467,18 @@ def _resolve_merge_backend(merge_backend: str, n: int | None = None,
     return "host"
 
 
-def _resolve_backend(backend: str, coll_chars: int | None = None) -> str:
-    """auto -> dense on an accelerator for large inputs, host otherwise.
+# CPU XLA is element-bound (no gather-latency floor), so the jump scan's
+# lane-count optimum is far below the TPU default of 4096: the measured
+# sweep at 20 Mchars bottoms at 1024 (24 s; 256->34 s, 8192->102 s).
+AUTO_CPU_JUMP_LANES = 1024
 
-    CPU-only processes and small collections keep the numpy path: the joint
-    sorts are slower than the sequential scan there and jit/dispatch costs
-    dominate."""
+
+def _resolve_backend(backend: str, coll_chars: int | None = None) -> str:
+    """auto -> dense on an accelerator for large inputs; on CPU-only
+    processes large collections take the jump scan (head-jumping XLA scan,
+    the best measured CPU path — the numpy host engine is the per-factor
+    spec oracle and is ~10x slower at tens of Mchars), small ones the host
+    scan (jit/dispatch costs dominate below the crossover)."""
     if backend != "auto":
         return backend
     if coll_chars is not None and coll_chars < AUTO_DENSE_MIN_CHARS:
@@ -477,8 +488,8 @@ def _resolve_backend(backend: str, coll_chars: int | None = None) -> str:
         if any(d.platform != "cpu" for d in jax.devices()):
             return "dense"
     except Exception:
-        pass
-    return "host"
+        return "host"
+    return "jump"
 
 
 def _export_device_index(dindex, x_aug: np.ndarray) -> ReferenceIndex:

@@ -120,3 +120,23 @@ def test_prefix_zero_no_truncation(tmp_path):
     full = fasta.parse_collection(str(coll_path), 2**63, use_native=False)
     zero = fasta.parse_collection(str(coll_path), 0, use_native=False)
     np.testing.assert_array_equal(full.sx, zero.sx)
+
+
+def test_auto_backend_cpu_large_is_jump(tmp_path, monkeypatch):
+    """auto on a CPU-only process: large collections take the jump scan
+    (the numpy host engine stays the small-input/oracle path)."""
+    from cmsbwt_tpu.engine import pipeline
+    assert pipeline._resolve_backend("auto", 10_000) == "host"
+    assert pipeline._resolve_backend(
+        "auto", pipeline.AUTO_DENSE_MIN_CHARS + 1) == "jump"
+    # e2e through the auto->jump route (threshold lowered to toy scale),
+    # exercising the CPU lane clamp; byte-equal vs the host engine
+    monkeypatch.setattr(pipeline, "AUTO_DENSE_MIN_CHARS", 1)
+    lst, *_ = _workload(tmp_path, seed=21)
+    cfg = Config(filename=str(lst), outname=str(tmp_path / "aj"))
+    compute_bwt(cfg)
+    cfg2 = Config(filename=str(lst), outname=str(tmp_path / "ah"),
+                  backend="host")
+    compute_bwt(cfg2)
+    assert (tmp_path / "aj.bwt").read_bytes() == \
+        (tmp_path / "ah.bwt").read_bytes()
