@@ -687,6 +687,7 @@ def _pow2_pad(x: int, cap: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("r_cut",))
+@functools.partial(jax.jit, static_argnames=("r_cut",))
 def _slice1(a, r_cut: int):
     return jax.lax.dynamic_slice(a, (0,), (r_cut,))
 
@@ -708,12 +709,13 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
     the small-path debug artifact (ref :919-924).
     """
     from ..ops.ms_dense import _stage_timer
+    from ..utils.xfer import get as _get, put_i32 as _put_i32
     mark = _stage_timer()
     h_pad = int(head_t.shape[0])
     n_pad = int(ref_sa.shape[0])
-    d_t = jnp.int32(d)
-    n_t = jnp.int32(n)
-    h_t = jnp.int32(h)
+    d_t = _put_i32(d)
+    n_t = _put_i32(n)
+    h_t = _put_i32(h)
 
     to_next, isa_next, succ = fixup_dev(head_t, head_pos, head_len, h_t,
                                         ref_isa, h_pad)
@@ -733,52 +735,53 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
     mark("rank_heads", final_rank)
 
     pairs = tail_pairs_count_dev(cls, h_pad)
-    total_pairs = int(np.asarray(pairs["total"]))
+    total_pairs = int(_get(pairs["total"]))
     mark("tail_pairs_count(P=%d)" % total_pairs)
     p_pad = _pow2_pad(total_pairs + 1, 0)
     counter, n_exact_d, exact_members_d, e_pidx, e_fnd, src_cls = \
         tail_good_dev(cls, pairs, slot_base, h_t, n_t, h_pad, p_pad)
-    n_exact = int(np.asarray(n_exact_d))
-    exact_members = int(np.asarray(exact_members_d))
+    n_exact = int(_get(n_exact_d))
+    exact_members = int(_get(exact_members_d))
     mark("tail_good(exact=%d)" % n_exact, counter)
     if n_exact:
         e_pad = _pow2_pad(n_exact, 0)
         em_pad = _pow2_pad(exact_members, 0)
         counter = counter + tail_exact_dev(
             cls, pairs, slot_base, member_rank_sorted, cls_of_slot,
-            e_pidx, e_fnd, src_cls, jnp.int32(n_exact), h_t,
+            e_pidx, e_fnd, src_cls, _put_i32(n_exact), h_t,
             h_pad, e_pad, em_pad)
         mark("tail_exact", counter)
 
     (p16, big_idx, big_len, big_chr, rl_d, rc_d,
      scalars) = runs_emit_dev(
-        cls, sa_ord, slot_base, counter[:h_pad], tails_cnt, bwt_heads,
+        cls, sa_ord, slot_base, _slice1(counter, h_pad), tails_cnt,
+        bwt_heads,
         ref_sa, ref_isa, ref_bwt, d_t, n_t, h_pad, n_pad, rle_quirk)
-    n_nz, maxlen, n_big = (int(v) for v in np.asarray(scalars))
+    n_nz, maxlen, n_big = (int(v) for v in _get(scalars))
     mark("runs_emit(R=%d,big=%d)" % (n_nz, n_big))
     r_pad_full = int(p16.shape[0])
     r_cut = _pow2_pad(max(n_nz, 1), r_pad_full)
     if n_big * 10 <= max(n_nz, 1) * 2:
         # 2 bytes/run; runs with len >= 256 spill to a compacted
         # (index, len, char) overflow list
-        p_np = np.asarray(_slice1(p16, r_cut))[:n_nz]
+        p_np = _get(_slice1(p16, r_cut))[:n_nz]
         rl = (p_np >> 8).astype(np.int64)
         rc = (p_np & 0xFF).astype(np.uint8)
         if n_big:
             b_cut = _pow2_pad(max(n_big, 1), r_pad_full)
-            bi_np, bl_np = (np.asarray(a)[:n_big] for a in
+            bi_np, bl_np = (_get(a)[:n_big] for a in
                             _slice2(big_idx, big_len, b_cut))
-            bc_np = np.asarray(_slice1(big_chr, b_cut))[:n_big]
+            bc_np = _get(_slice1(big_chr, b_cut))[:n_big]
             rl[bi_np] = bl_np.astype(np.int64)
             rc[bi_np] = bc_np
     else:
         rl_np, rc_np = _slice2(rl_d, rc_d, r_cut)
-        rl = np.asarray(rl_np)[:n_nz].astype(np.int64)
-        rc = np.asarray(rc_np)[:n_nz]
+        rl = _get(rl_np)[:n_nz].astype(np.int64)
+        rc = _get(rc_np)[:n_nz]
     mark("runs_download")
     # counterSmallerThanHead, slot-indexed (debug artifact parity,
     # ref :919-924); host layout is int64[h+1]
-    counter_np = (np.asarray(counter)[: h + 1].astype(np.int64)
+    counter_np = (_get(counter)[: h + 1].astype(np.int64)
                   if want_counter else None)
     return rl, rc, counter_np
 

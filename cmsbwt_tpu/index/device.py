@@ -228,19 +228,27 @@ class DeviceIndex:
     PAD = 1024  # text overrun pad for windowed compares (mismatching bytes)
 
 
-def build_device_index(x_aug: np.ndarray) -> DeviceIndex:
-    n = len(x_aug)
-    x = jnp.asarray(x_aug)
-    sa, isa, history, _ = suffix_array_device(x, n)
-    lcp = lcp_device(sa, history, n)
-    idx = jnp.arange(n, dtype=jnp.int32)
+@functools.partial(jax.jit, static_argnames=("n",))
+def _index_tail(x, sa, isa, lcp, n: int):
+    """PLCP skip bound, reference BWT, sparse table, padded text — one
+    compiled program (eager jnp ops with Python-scalar operands would
+    transfer implicitly; see utils/xfer.py)."""
     plcp = jnp.maximum(lcp[isa], lcp[jnp.minimum(isa + 1, n)])
     bwt = jnp.where(sa > 0, x[jnp.maximum(sa - 1, 0)], jnp.uint8(0))
     jump = build_lcp_sparse_table(lcp, n)
     pad = jnp.full(DeviceIndex.PAD, 255, jnp.uint8).at[0].set(0)
     x_padded = jnp.concatenate([x, pad])
+    return plcp.astype(jnp.int32), bwt, jump, x_padded
+
+
+def build_device_index(x_aug: np.ndarray) -> DeviceIndex:
+    n = len(x_aug)
+    x = jax.device_put(np.asarray(x_aug))
+    sa, isa, history, _ = suffix_array_device(x, n)
+    lcp = lcp_device(sa, history, n)
+    plcp, bwt, jump, x_padded = _index_tail(x, sa, isa, lcp, n)
     return DeviceIndex(x_padded=x_padded, n=n, sa=sa, isa=isa, lcp=lcp,
-                       plcp=plcp.astype(jnp.int32), bwt=bwt, jump=jump)
+                       plcp=plcp, bwt=bwt, jump=jump)
 
 
 def build_reference_index_device(x_aug: np.ndarray):

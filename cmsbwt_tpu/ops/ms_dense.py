@@ -49,6 +49,9 @@ INT_MAX = 2**31 - 1
 LV_BINS = 34               # split-level histogram bins (levels < 32 + spill)
 
 
+from ..utils.xfer import get as _get, put as _put, put_i32 as _put_i32
+
+
 def _joint_sa(b: jnp.ndarray, sp: jnp.ndarray, m: int):
     """Window-8–seeded doubling sort (ops/joint_sa.py); returns
     (sa, isa, hist, pack8, k_star, split_lv)."""
@@ -233,7 +236,7 @@ def _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all, isa,
         if cnt == 0:
             continue
         c_pad = min(bucket_size(cnt), rho_pad)
-        h = _lift_level_step(h, ai, bi, hist, jnp.int32(k), m, c_pad)
+        h = _lift_level_step(h, ai, bi, hist, _put_i32(k), m, c_pad)
     return _lift_bytes_fill(h, ai, bi, pack8, isa, m, rho_pad)
 
 
@@ -438,15 +441,15 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     if sn_pad == sn and (sn == 0 or sx[-1] != SEPARATOR):
         sn_pad = bucket_size(sn + 1) if bucketed else sn + 1
     m = n_pad + sn_pad
-    n_t = jnp.int32(n)
-    sn_t = jnp.int32(sn)
+    n_t = _put_i32(n)
+    sn_t = _put_i32(sn)
     x_u8 = np.zeros(n_pad, np.uint8)
     x_u8[:n] = x_aug
     sx_u8 = np.zeros(sn_pad, np.uint8)
     sx_u8[:sn] = sx
-    x_dev = jnp.asarray(x_u8)
-    b, sp = _build_joint_device(x_dev, jnp.asarray(sx_u8),
-                                n_t, sn_t, jnp.int32(0),
+    x_dev = _put(x_u8)
+    b, sp = _build_joint_device(x_dev, _put(sx_u8),
+                                n_t, sn_t, _put_i32(0),
                                 n_pad, sn_pad)
     mark("upload+build_joint", b)
 
@@ -454,7 +457,7 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     mark("joint_sa", sa)
     stats_dev, ai_all, bi_all, lv_all = _irreducible_slots(
         b, sp, sa, isa, split_lv, n_t, sn_t, m, n_pad)
-    stats = np.asarray(stats_dev)
+    stats = _get(stats_dev)
     rho = int(stats[0])
     mark("irreducible(rho=%d)" % rho, ai_all)
     rho_pad = min(_pow2_pad(rho), m)
@@ -600,7 +603,7 @@ def ms_dense_heads_on_device(x_aug: np.ndarray, sx: np.ndarray,
      char) = _postprocess(core["b"], core["pos"], core["length"],
                           core["smaller"], core["n_t"], core["sn_t"],
                           core["n_pad"], core["sn_pad"])
-    h = int(np.asarray(h_dev))
+    h = int(_get(h_dev))
     mark("postprocess", pos)
     h_pad = bucket_size(h + 1)
     out_t, out_pos, out_len, out_sml, out_chr = _compact_heads_raw(
@@ -611,7 +614,7 @@ def ms_dense_heads_on_device(x_aug: np.ndarray, sx: np.ndarray,
      ref_bwt) = _finish_for_merge(
         out_t, out_pos, out_len, out_sml, out_chr,
         core["ref_sa"], core["ref_isa"], core["x_dev"], core["n_t"],
-        jnp.int32(h), h_pad, core["n_pad"])
+        _put_i32(h), h_pad, core["n_pad"])
     mark("finish_for_merge", t)
     return DeviceHeadsResult(
         head_t=t, head_pos=pos_h, head_len=len_h, head_smaller=sml_h,
@@ -802,7 +805,7 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             stats_dev, ai_all, bi_all, lv_all = _irreducible_slots(
                 b, sp, sa, isa, split_lv, jnp.int32(n),
                 jnp.int32(len(sx_blk)), m, n_pad)
-            stats = np.asarray(stats_dev)
+            stats = _get(stats_dev)
             rho = int(stats[0])
             rho_pad = min(_pow2_pad(rho), m)
             ell = _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all,

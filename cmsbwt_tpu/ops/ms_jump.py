@@ -342,21 +342,23 @@ def ms_jump_step(x_padded, sa, isa, plcp, jump, gmax, sx_padded,
 
 
 def jump_init_state(chunk_starts, chunk_ends, L: int, n: int, cap: int):
-    return {
-        "t": jnp.asarray(chunk_starts),
-        "length": jnp.zeros(L, jnp.int32),
-        "lb": jnp.zeros(L, jnp.int32),
-        "rb": jnp.full(L, n - 1, jnp.int32),
-        "pos": jnp.full(L, n - 1, jnp.int32),
-        "fin": jnp.zeros(L, bool),
-        "done": jnp.asarray(chunk_starts >= chunk_ends),
-        "nrec": jnp.zeros(L, jnp.int32),
-        "viol": jnp.zeros(L, bool),
-        "out_t": jnp.zeros((L, cap), jnp.int32),
-        "out_pos": jnp.zeros((L, cap), jnp.int32),
-        "out_len": jnp.zeros((L, cap), jnp.int32),
-        "out_sml": jnp.zeros((L, cap), jnp.bool_),
+    # numpy-built + one explicit upload per field (transfer-guard-clean)
+    state = {
+        "t": np.asarray(chunk_starts, np.int32),
+        "length": np.zeros(L, np.int32),
+        "lb": np.zeros(L, np.int32),
+        "rb": np.full(L, n - 1, np.int32),
+        "pos": np.full(L, n - 1, np.int32),
+        "fin": np.zeros(L, bool),
+        "done": np.asarray(chunk_starts >= chunk_ends),
+        "nrec": np.zeros(L, np.int32),
+        "viol": np.zeros(L, bool),
+        "out_t": np.zeros((L, cap), np.int32),
+        "out_pos": np.zeros((L, cap), np.int32),
+        "out_len": np.zeros((L, cap), np.int32),
+        "out_sml": np.zeros((L, cap), np.bool_),
     }
+    return {k: jax.device_put(v) for k, v in state.items()}
 
 
 @functools.partial(jax.jit, static_argnames=("cap", "sn", "h_pad"))
@@ -415,8 +417,9 @@ def ms_jump_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
     chunk_len = -(-sn // lanes)
     starts = (np.arange(lanes) * chunk_len).astype(np.int32)
     ends = np.minimum(starts + chunk_len, sn).astype(np.int32)
-    sx_dev = jnp.concatenate([jnp.asarray(sx),
-                              jnp.zeros(window, jnp.uint8)])
+    sx_np = np.asarray(sx)
+    sx_dev = jax.device_put(
+        np.concatenate([sx_np, np.zeros(window, np.uint8)]))
     cap = max(64, bucket_size(int(3 * chunk_len // 16 + 64)))
     ends_dev = jnp.asarray(ends)
     max_iters = 512
@@ -427,8 +430,8 @@ def ms_jump_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
                 index.x_padded, index.sa, index.isa, index.plcp,
                 index.jump, gmax, sx_dev, state, ends_dev,
                 n=n, sn=sn, cap=cap, window=window, max_iters=max_iters)
-            flags = np.asarray(jnp.stack(
-                [jnp.any(~state["done"]), jnp.any(state["viol"])]))
+            flags = jax.device_get(_status_flags(state["done"],
+                                                 state["viol"]))
             if flags[1] or not flags[0]:
                 break
         out_t, out_pos = state["out_t"], state["out_pos"]
@@ -440,16 +443,16 @@ def ms_jump_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
         if cap > max(2 * chunk_len, 1024):
             raise RuntimeError("ms_jump: record capacity runaway")
     mark("jump_scan")
-    h_pad = min(bucket_size(int(np.asarray(jnp.sum(nrec))) + 1),
+    h_pad = min(bucket_size(int(jax.device_get(_sum_i64(nrec))) + 1),
                 lanes * cap)
     t_h, pos_h, len_h, sml_h, chr_h, h_dev = _compact_candidates(
         out_t, out_pos, out_len, out_sml, nrec, sx_dev, cap, sn, h_pad)
-    h = int(np.asarray(h_dev))
+    h = int(jax.device_get(h_dev))
     mark("jump_compact(h=%d)" % h)
     # reference index in merge layout (zero-padded n_pad)
     n_pad = bucket_size(n + 1)
     ref_sa, ref_isa, ref_bwt = _ref_pad(index.sa, index.isa, index.bwt,
-                                        jnp.int32(n), n_pad)
+                                        jax.device_put(np.int32(n)), n_pad)
     # head arrays may exceed the merge's preferred bucket; re-bucket
     hb = bucket_size(h + 1)
     if hb < h_pad:
@@ -459,6 +462,16 @@ def ms_jump_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
         head_t=t_h, head_pos=pos_h, head_len=len_h, head_smaller=sml_h,
         head_char=chr_h, ref_sa=ref_sa, ref_isa=ref_isa, ref_bwt=ref_bwt,
         h=h, n=n, sn=sn, irreducible=0)
+
+
+@jax.jit
+def _status_flags(done, viol):
+    return jnp.stack([jnp.any(~done), jnp.any(viol)])
+
+
+@jax.jit
+def _sum_i64(a):
+    return jnp.sum(a)
 
 
 @functools.partial(jax.jit, static_argnames=("n_pad",))
