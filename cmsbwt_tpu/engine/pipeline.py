@@ -118,21 +118,40 @@ def compute_bwt(cfg: Config) -> dict:
             "through the sharded int64 index (docs/giant_references.md).")
     sn_limit = fasta.collection_sn_limit(coll_path, cfg.prefix_length)
     coll_chars = min(os.path.getsize(coll_path), cfg.prefix_length)
-    backend = "host" if giant else _resolve_backend(cfg.backend, coll_chars)
+    backend = ("host" if giant else
+               _resolve_backend(cfg.backend, coll_chars, len(x_aug)))
     dindex = None
     index = None
     with timer.phase("build_index"):
-        if giant:
+        # reference-index checkpoint (SURVEY §5 failure-recovery row): the
+        # index depends only on the reference file, so it is reusable
+        # across runs and crash restarts (the dense path has its own
+        # dense_heads checkpoint; the device backend keeps arrays on-chip)
+        idx_ckpt = idx_fp = None
+        if cfg.checkpoint_dir and (giant or backend not in
+                                   ("dense", "jump", "pallas", "device")):
+            from ..utils.checkpoint import CheckpointManager, file_stamp
+            idx_ckpt = CheckpointManager(cfg.checkpoint_dir)
+            idx_fp = idx_ckpt.fingerprint(ref=file_stamp(ref_path),
+                                          giant=giant, phase="ref_index")
+            cached_idx = idx_ckpt.load("ref_index", idx_fp)
+            if cached_idx is not None:
+                index = _index_from_arrays(x_aug, cached_idx)
+        if index is None and giant:
             from ..parallel.sharded_index import (
                 build_sharded_reference_index)
             index = build_sharded_reference_index(x_aug)
-        elif backend == "device":
+        elif index is None and backend == "device":
             from ..index.device import (build_device_index,
                                         build_reference_index_device)
             dindex = build_device_index(x_aug)
             index = _export_device_index(dindex, x_aug)
-        elif backend not in ("dense", "jump", "pallas"):
+        elif index is None and backend not in ("dense", "jump", "pallas"):
             index = build_reference_index(x_aug)
+        if idx_ckpt is not None and index is not None and cached_idx is None:
+            idx_ckpt.save("ref_index", idx_fp, {
+                "sa": index.sa, "isa": index.isa, "lcp": index.lcp,
+                "plcp": index.plcp, "bwt": index.bwt})
     with timer.phase("parse_collection"):
         coll = fasta.parse_collection(coll_path, sn_limit)
         fasta.validate_collection(coll)
@@ -473,12 +492,19 @@ def _resolve_merge_backend(merge_backend: str, n: int | None = None,
 AUTO_CPU_JUMP_LANES = 1024
 
 
-def _resolve_backend(backend: str, coll_chars: int | None = None) -> str:
+def _resolve_backend(backend: str, coll_chars: int | None = None,
+                     ref_chars: int | None = None) -> str:
     """auto -> dense on an accelerator for large inputs; on CPU-only
     processes large collections take the jump scan (head-jumping XLA scan,
     the best measured CPU path — the numpy host engine is the per-factor
     spec oracle and is ~10x slower at tens of Mchars), small ones the host
-    scan (jit/dispatch costs dominate below the crossover)."""
+    scan (jit/dispatch costs dominate below the crossover).
+
+    CMSBWT_AUTO_PALLAS=1 additionally routes accelerator runs whose
+    reference index fits the kernel's VMEM plan to the pallas scan
+    (opt-in until the kernel is timed on hardware — the Mosaic wave loop
+    is designed to beat the dense joint sort wherever it fits, see
+    docs/pallas_ms_kernel.md)."""
     if backend != "auto":
         return backend
     if coll_chars is not None and coll_chars < AUTO_DENSE_MIN_CHARS:
@@ -486,10 +512,26 @@ def _resolve_backend(backend: str, coll_chars: int | None = None) -> str:
     try:
         import jax
         if any(d.platform != "cpu" for d in jax.devices()):
+            if (os.environ.get("CMSBWT_AUTO_PALLAS") == "1"
+                    and ref_chars is not None):
+                from ..ops.pallas_scan import pallas_index_fits
+                if pallas_index_fits(ref_chars):
+                    return "pallas"
             return "dense"
     except Exception:
         return "host"
     return "jump"
+
+
+def _index_from_arrays(x_aug: np.ndarray, arrays: dict) -> ReferenceIndex:
+    """ReferenceIndex from a ref_index checkpoint bundle (rank_history is
+    a build intermediate — no downstream consumer, not persisted)."""
+    return ReferenceIndex(
+        x=x_aug,
+        x_padded=np.concatenate([x_aug, np.zeros(1, np.uint8)]),
+        n=len(x_aug), sa=arrays["sa"], isa=arrays["isa"],
+        lcp=arrays["lcp"], plcp=arrays["plcp"], bwt=arrays["bwt"],
+        rank_history=[])
 
 
 def _export_device_index(dindex, x_aug: np.ndarray) -> ReferenceIndex:

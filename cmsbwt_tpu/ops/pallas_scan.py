@@ -593,6 +593,17 @@ def _compact_emissions(A, B, C, sx4_row, sn: int, sn_cap: int, h_pad: int):
             zero(sml_h) != 0, chr_h, h)
 
 
+def pallas_index_fits(n: int,
+                      vmem_budget_bytes: int = 100 * 1024 * 1024) -> bool:
+    """Whether the reference index fits the kernel's VMEM residency plan.
+
+    The kernel keeps ~8 int32 rows of length ~n in VMEM (text, SA, ISA,
+    LCP, g = i + PLCP, two-level block-tree minima/maxima) -> ~32 bytes
+    per reference char against a ~100 MB budget (the 128 MB compiler
+    limit minus collection segments and scratch)."""
+    return n > 0 and 32 * n <= vmem_budget_bytes
+
+
 def ms_pallas_heads(x_aug: np.ndarray, sx: np.ndarray, lanes: int = 4096,
                     window: int = 64, iters: int = 128,
                     segment_chars: int = 16 << 20,

@@ -73,12 +73,12 @@ def test_phase_timer():
 
 def test_auto_backend_resolution():
     # explicit choices pass through untouched; auto picks host for small
-    # collections and on CPU-only processes (tests pin jax to cpu)
+    # collections; large + CPU-only -> jump (the fastest measured CPU
+    # path; the numpy host engine stays the small-input/oracle path)
     from cmsbwt_tpu.engine.pipeline import (AUTO_DENSE_MIN_CHARS,
                                             _resolve_backend)
     assert _resolve_backend("dense", 10) == "dense"
     assert _resolve_backend("host", 10**9) == "host"
     assert _resolve_backend("auto", AUTO_DENSE_MIN_CHARS - 1) == "host"
-    # large + CPU-only -> host (no accelerator present under the test pin)
-    assert _resolve_backend("auto", 10**9) == "host"
-    assert _resolve_backend("auto", None) == "host"
+    assert _resolve_backend("auto", 10**9) == "jump"
+    assert _resolve_backend("auto", None) == "jump"

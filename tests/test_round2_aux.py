@@ -140,3 +140,24 @@ def test_auto_backend_cpu_large_is_jump(tmp_path, monkeypatch):
     compute_bwt(cfg2)
     assert (tmp_path / "aj.bwt").read_bytes() == \
         (tmp_path / "ah.bwt").read_bytes()
+
+
+def test_reference_index_checkpoint(tmp_path, monkeypatch):
+    """Second run with checkpoint_dir reuses the persisted index (no
+    rebuild), and the output stays byte-identical."""
+    from cmsbwt_tpu.engine import pipeline
+    lst, *_ = _workload(tmp_path, seed=31)
+    ck = tmp_path / "ck"
+    cfg = Config(filename=str(lst), outname=str(tmp_path / "i1"),
+                 backend="host", checkpoint_dir=str(ck))
+    compute_bwt(cfg)
+    assert (ck / "ref_index.npz").exists()
+
+    def boom(*a, **k):
+        raise AssertionError("index rebuilt despite checkpoint")
+    monkeypatch.setattr(pipeline, "build_reference_index", boom)
+    cfg2 = Config(filename=str(lst), outname=str(tmp_path / "i2"),
+                  backend="host", checkpoint_dir=str(ck))
+    compute_bwt(cfg2)
+    assert (tmp_path / "i1.bwt").read_bytes() == \
+        (tmp_path / "i2.bwt").read_bytes()
