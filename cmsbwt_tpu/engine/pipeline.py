@@ -500,11 +500,14 @@ def _resolve_backend(backend: str, coll_chars: int | None = None,
     spec oracle and is ~10x slower at tens of Mchars), small ones the host
     scan (jit/dispatch costs dominate below the crossover).
 
-    CMSBWT_AUTO_PALLAS=1 additionally routes accelerator runs whose
-    reference index fits the kernel's VMEM plan to the pallas scan
-    (opt-in until the kernel is timed on hardware — the Mosaic wave loop
-    is designed to beat the dense joint sort wherever it fits, see
-    docs/pallas_ms_kernel.md)."""
+    The pallas scan is never auto-selected: the 2026-08-19 hardware probes
+    showed this toolchain's Mosaic caps ``tpu.dynamic_gather`` at a
+    128-lane extent ("Multiple source vregs along gather dimension" is
+    Not implemented), so the kernel's VMEM-resident wide-row tables can
+    never compile on the chip (docs/pallas_ms_kernel.md §hardware
+    verdict). Explicit backend="pallas" still works — interpreted on CPU,
+    and on TPU it fails the Mosaic compile quickly and falls back to
+    dense with a logged notice."""
     if backend != "auto":
         return backend
     if coll_chars is not None and coll_chars < AUTO_DENSE_MIN_CHARS:
@@ -512,11 +515,6 @@ def _resolve_backend(backend: str, coll_chars: int | None = None,
     try:
         import jax
         if any(d.platform != "cpu" for d in jax.devices()):
-            if (os.environ.get("CMSBWT_AUTO_PALLAS") == "1"
-                    and ref_chars is not None):
-                from ..ops.pallas_scan import pallas_index_fits
-                if pallas_index_fits(ref_chars):
-                    return "pallas"
             return "dense"
     except Exception:
         return "host"
