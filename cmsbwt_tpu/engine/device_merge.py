@@ -34,6 +34,25 @@ INT_MAX = np.int32(2**31 - 1)
 I64_BIG = np.int64(1) << 62
 
 
+def sn_bound() -> int:
+    """Collection-size cap of the int32-keyed device merge (and of the
+    unblocked device scans). The reference's ``sn`` is uint64
+    (ref CMS-BWT.h:26,46) — unbounded — so collections at/above this bound
+    must route through the int64-safe path (blocked dense scan + host
+    merge; see pipeline.compute_bwt). Overridable via ``CMSBWT_SN_BOUND``
+    so CI can prove the over-bound route byte-equal at toy scale."""
+    import os
+    return int(os.environ.get("CMSBWT_SN_BOUND", 1 << 31))
+
+
+def _check_sn(sn: int) -> None:
+    if sn >= sn_bound():
+        raise ValueError(
+            f"collection has {sn} chars >= the device merge's int32 bound "
+            f"({sn_bound()}): use merge_backend='host' with a blocked scan "
+            "(pipeline routes backend=auto there automatically)")
+
+
 def _rev_fill_min(vals):
     """Nearest at-or-after fill: running min from the right."""
     return jax.lax.cummin(vals, axis=0, reverse=True)
@@ -687,7 +706,6 @@ def _pow2_pad(x: int, cap: int) -> int:
 
 
 @functools.partial(jax.jit, static_argnames=("r_cut",))
-@functools.partial(jax.jit, static_argnames=("r_cut",))
 def _slice1(a, r_cut: int):
     return jax.lax.dynamic_slice(a, (0,), (r_cut,))
 
@@ -792,6 +810,7 @@ def merge_heads_device_resident(dres, d: int, rle_quirk: bool,
     without any host round-trip: the head records and reference index are
     already device arrays in merge layout (zero pads)."""
     from ..utils.jaxcache import enable_compilation_cache
+    _check_sn(int(dres.sn))
     enable_compilation_cache()
     return merge_device(
         dres.head_t, dres.head_pos, dres.head_len, dres.head_smaller,
@@ -810,6 +829,7 @@ def merge_heads_numpy(head_t, head_pos, head_len, head_smaller, head_char,
     """
     import jax.numpy as jnp
 
+    _check_sn(int(sn))
     from ..utils.jaxcache import bucket_size, enable_compilation_cache
     enable_compilation_cache()
     h_pad = bucket_size(h + 1)

@@ -119,7 +119,7 @@ def compute_bwt(cfg: Config) -> dict:
     sn_limit = fasta.collection_sn_limit(coll_path, cfg.prefix_length)
     coll_chars = min(os.path.getsize(coll_path), cfg.prefix_length)
     backend = ("host" if giant else
-               _resolve_backend(cfg.backend, coll_chars, len(x_aug)))
+               _resolve_backend(cfg.backend, coll_chars))
     dindex = None
     index = None
     with timer.phase("build_index"):
@@ -164,6 +164,27 @@ def compute_bwt(cfg: Config) -> dict:
                                 run_char=np.zeros(0, np.uint8),
                                 d=coll.d, sn=0, h=0)
         return _write_outputs(cfg, outname, index, result, timer)
+
+    # collections at/above the int32 bound (the reference's sn is uint64 —
+    # unbounded, ref CMS-BWT.h:26,46): the unblocked device scans and the
+    # device merge are int32-keyed, so such runs must take the int64-safe
+    # route — blocked dense scan (global head_t is int64 on the host,
+    # ms_dense.py:836) + host merge. The bound is overridable
+    # (CMSBWT_SN_BOUND) so CI proves the route byte-equal at toy scale.
+    sn_big = coll.sn >= _sn_bound()
+    if sn_big:
+        if cfg.merge_backend == "device":
+            raise ValueError(
+                f"collection has {coll.sn} chars (>= the int32 device-merge "
+                f"bound {_sn_bound()}): merge_backend='device' cannot run "
+                "it; use merge_backend=auto/host")
+        if cfg.backend in ("jump", "pallas", "device"):
+            raise ValueError(
+                f"collection has {coll.sn} chars (>= the int32 bound "
+                f"{_sn_bound()}): backend={cfg.backend} uses int32 device "
+                "scans; use backend=auto/dense (blocked) or host")
+        if backend in ("jump", "pallas", "device", "dense"):
+            backend = "dense"   # blocked int64 route, forced below
 
     ms = None
     if backend in ("jump", "pallas"):
@@ -255,13 +276,19 @@ def compute_bwt(cfg: Config) -> dict:
             ndev = max(1, len(jax.local_devices()))
             block_chars = max(min(-(-coll.sn // ndev),
                                   cfg.chunk_cap_bytes // 8), 1 << 16)
+        if sn_big:
+            # int64-safe route: per-block scans stay under the int32 bound
+            # while global head_t is assembled int64 on the host
+            cap = max(min(cfg.chunk_cap_bytes // 8, _sn_bound() // 2),
+                      1 << 12)
+            block_chars = min(block_chars, cap) if block_chars else cap
         # device-resident fast path: scan result stays on the chip and feeds
         # the device merge directly — nothing O(n + H) crosses the host link
         # (checkpointing and blocked modes need host arrays, so they keep
         # the download path)
         device_resident = (
             _resolve_merge_backend(cfg.merge_backend) == "device"
-            and not block_chars and not cfg.checkpoint_dir)
+            and not block_chars and not cfg.checkpoint_dir and not sn_big)
         if device_resident:
             from ..ops.ms_dense import ms_dense_heads_on_device
             rq = cfg.rle and cfg.replicate_reference_rle_quirk
@@ -323,7 +350,8 @@ def compute_bwt(cfg: Config) -> dict:
                     "irreducible": np.int64(dres.irreducible)})
         index, heads = dense_result_to_inputs(x_aug, dres)
         rq = cfg.rle and cfg.replicate_reference_rle_quirk
-        if _resolve_merge_backend(cfg.merge_backend) == "device":
+        if (not sn_big
+                and _resolve_merge_backend(cfg.merge_backend) == "device"):
             result = merge_from_heads_device(
                 x_aug, dres, coll.d, coll.sn, rq, timer,
                 want_counter=len(x_aug) < cfg.small_ref_threshold)
@@ -439,6 +467,14 @@ def _write_outputs(cfg: Config, outname: str, index: ReferenceIndex,
 AUTO_DENSE_MIN_CHARS = 2_000_000
 
 
+def _sn_bound() -> int:
+    """Collection size at which the int32-keyed device paths stop and the
+    blocked-scan + host-merge int64 route takes over (the reference's sn
+    is uint64, ref CMS-BWT.h:26,46). Env-overridable for toy-scale CI."""
+    from .device_merge import sn_bound
+    return sn_bound()
+
+
 def _giant_threshold() -> int:
     """Reference length at which the int32 index paths stop and the sharded
     int64 route takes over. Defaults to the int32 bound; the env override
@@ -492,8 +528,7 @@ def _resolve_merge_backend(merge_backend: str, n: int | None = None,
 AUTO_CPU_JUMP_LANES = 1024
 
 
-def _resolve_backend(backend: str, coll_chars: int | None = None,
-                     ref_chars: int | None = None) -> str:
+def _resolve_backend(backend: str, coll_chars: int | None = None) -> str:
     """auto -> dense on an accelerator for large inputs; on CPU-only
     processes large collections take the jump scan (head-jumping XLA scan,
     the best measured CPU path — the numpy host engine is the per-factor

@@ -597,6 +597,12 @@ def pallas_index_fits(n: int,
                       vmem_budget_bytes: int = 100 * 1024 * 1024) -> bool:
     """Whether the reference index fits the kernel's VMEM residency plan.
 
+    NOTE: no live caller — auto-dispatch to pallas was removed after the
+    2026-08 hardware probes (Mosaic dynamic_gather <=128-lane extent makes
+    the kernel uncompilable on this toolchain). Retained with the
+    interpret-validated design for future toolchains; not a dispatch
+    predicate.
+
     The kernel keeps ~8 int32 rows of length ~n in VMEM (text, SA, ISA,
     LCP, g = i + PLCP, two-level block-tree minima/maxima) -> ~32 bytes
     per reference char against a ~100 MB budget (the 128 MB compiler

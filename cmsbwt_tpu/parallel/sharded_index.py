@@ -344,9 +344,10 @@ def _sharded_lcp_program(mesh, hist_sh, sa_sh, n, local: int,
         in_n = (gidx < n) & (gidx >= 1)
         a = _shift_right_one(sa, n_shards, jnp.int64(-1))   # SA[i-1]
         b = sa
-        # pvary: the carry becomes device-varying on the first collective,
-        # so it must START varying for scan's type check (shard_map vma)
-        h = jax.lax.pvary(jnp.zeros(local, jnp.int64), AXIS)
+        # pcast to varying: the carry becomes device-varying on the first
+        # collective, so it must START varying for scan's type check
+        # (shard_map vma)
+        h = jax.lax.pcast(jnp.zeros(local, jnp.int64), AXIS, to="varying")
 
         def level(h, k):
             rk = hist[k]
