@@ -370,7 +370,12 @@ def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
     q_isa = seg_fill(cls["isa_next"]).astype(jnp.int32)
     q_size = seg_fill(cls["size"]).astype(jnp.int32)
     q_k = jnp.where(q_small, q_len, 2 * n - q_len)
-    # global join: targets = classes (pos, K*(n+1)+isa), queries = (b, qk..)
+    # global join: targets = classes (pos, K*(n+1)+isa), queries = (b, qk..).
+    # The tie flag (queries sort before equal targets — the rev_fill below
+    # must see an equal-key target AT-or-after the query) rides key2's low
+    # bit, and the two payloads are disjoint by side (slot_base is consumed
+    # at target rows, q_size at query rows), so the join sort carries 4
+    # operands / 2 keys instead of 6 / 3 — the sort is the stage's cost.
     with jax.enable_x64(True):
         scale = (n + 1).astype(jnp.int64)
         t_k2 = jnp.where(cvalid,
@@ -381,15 +386,16 @@ def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
                          + q_isa.astype(jnp.int64), I64_BIG)
         key1 = jnp.concatenate([jnp.where(cvalid, cls["pos"], INT_MAX),
                                 jnp.where(pvalid, b, INT_MAX)])
-        key2 = jnp.concatenate([t_k2, q_k2])
-        flag = jnp.concatenate([jnp.ones(h_pad, jnp.int32),
-                                jnp.zeros(p_pad, jnp.int32)])
+        key2f = jnp.concatenate(
+            [jnp.where(cvalid, (t_k2 << 1) | 1, I64_BIG),
+             jnp.where(pvalid, q_k2 << 1, I64_BIG)])
         srcidx = jnp.concatenate([cidx, pidx])
-        pay_slot = jnp.concatenate([slot_base[:h_pad],
-                                    jnp.zeros(p_pad, jnp.int32)])
-        pay_size = jnp.concatenate([jnp.zeros(h_pad, jnp.int32), q_size])
-        k1s, k2s, f_s, i_s, slot_s, size_s = jax.lax.sort(
-            (key1, key2, flag, srcidx, pay_slot, pay_size), num_keys=3)
+        pay = jnp.concatenate([slot_base[:h_pad], q_size])
+        k1s, k2fs, i_s, pay_s = jax.lax.sort(
+            (key1, key2f, srcidx, pay), num_keys=2)
+        f_s = (k2fs & 1).astype(jnp.int32)
+        k2s = k2fs >> 1
+        slot_s = size_s = pay_s
     # Propagate the nearest-at-or-after target's attributes to each query
     # row by packed (row << 31 | payload) reverse cummins — the row is the
     # high field so the nearest target wins and each fill carries one
@@ -729,6 +735,10 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
     from ..ops.ms_dense import _stage_timer
     from ..utils.xfer import get as _get, put_i32 as _put_i32
     mark = _stage_timer()
+    # tail_good_dev packs (class key)*(n+1)+isa and a tie flag into one
+    # int64 sort key: needs 2n(n+1) < 2^61. Far above any HBM-feasible
+    # device-merge ref size (n_pad int32 rows alone would exceed the chip).
+    assert n < (1 << 30), "device merge supports references < 2^30 chars"
     h_pad = int(head_t.shape[0])
     n_pad = int(ref_sa.shape[0])
     d_t = _put_i32(d)

@@ -1,0 +1,308 @@
+"""Distributed-array primitives over a 1-D device mesh — the collective
+vocabulary of the sharded downstream merge (parallel/sharded_merge.py).
+
+Layout contract: a distributed array of global length G = R*local is a
+jax array sharded ``P(AXIS)`` whose shard s owns rows
+[s*local, (s+1)*local).  All primitives here run INSIDE ``shard_map`` on
+the (local,)-shaped per-shard view; ``local`` and ``n_shards`` are static.
+Validity is by caller convention (pad rows carry sentinel keys).
+
+Primitive set (each is the distributed form of one XLA idiom the
+single-device merge engine leans on — see engine/device_merge.py):
+
+* ``dsort``       — global sample sort back to REGULAR layout (lax.sort)
+* ``dcumsum`` / ``dcummax`` / ``dcummin_rev`` / ``dcummax_rev`` — global
+  scans: local scan + exclusive shard-prefix exchange (one all_gather
+  of a scalar per shard)
+* ``dgather``     — routed cross-shard gather (out[j] = vals[idx[j]])
+* ``dscatter``    — routed cross-shard scatter set/add/max (at[idx].op)
+* ``dshift``      — global out[i] = vals[i+w] (adjacent-row compares)
+
+Capacity note: bucket exchanges use the padded (n_shards, local) grid of
+parallel/sharded_index.py — a dsort's receive buffer is O(G) per shard
+(a source never overflows a per-destination bucket because it only has
+``local`` rows, but the grid itself is the full global size).  That is
+the correctness-first prototype shape, same as the sharded index;
+production-scale runs would cap per-bucket capacity at a small multiple
+of local/n_shards with an overflow retry.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+AXIS = "mrg"
+I64_MAX = jnp.int64(1) << 62
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (AXIS,))
+
+
+def shard(mesh: Mesh, arr, pad_val, local: int):
+    """Host/np array -> regular-layout distributed array (padded to
+    n_shards*local with pad_val)."""
+    R = mesh.devices.size
+    arr = np.asarray(arr)
+    out = np.full(R * local, pad_val, arr.dtype)
+    out[: len(arr)] = arr
+    return jax.device_put(out, NamedSharding(mesh, P(AXIS)))
+
+
+def _s():
+    return jax.lax.axis_index(AXIS)
+
+
+def gidx64(local: int):
+    """Global row index of each local row (int64)."""
+    return (_s().astype(jnp.int64) * local
+            + jnp.arange(local, dtype=jnp.int64))
+
+
+def _dtype_min(dt):
+    return jnp.asarray(np.iinfo(np.dtype(dt.name)).min, dt)
+
+
+def _dtype_max(dt):
+    return jnp.asarray(np.iinfo(np.dtype(dt.name)).max, dt)
+
+
+def _shard_prefix(total, n_shards: int, op: str, init):
+    """Exclusive prefix (over earlier shards) of a per-shard scalar."""
+    allv = jax.lax.all_gather(total, AXIS)
+    mask = jnp.arange(n_shards) < _s()
+    masked = jnp.where(mask, allv, init)
+    if op == "sum":
+        return jnp.sum(masked)
+    if op == "max":
+        return jnp.max(masked)
+    return jnp.min(masked)
+
+
+def _shard_suffix(total, n_shards: int, op: str, init):
+    """Exclusive suffix (over later shards) of a per-shard scalar."""
+    allv = jax.lax.all_gather(total, AXIS)
+    mask = jnp.arange(n_shards) > _s()
+    masked = jnp.where(mask, allv, init)
+    if op == "sum":
+        return jnp.sum(masked)
+    if op == "max":
+        return jnp.max(masked)
+    return jnp.min(masked)
+
+
+def dcumsum(vals, n_shards: int):
+    c = jnp.cumsum(vals)
+    pre = _shard_prefix(c[-1], n_shards, "sum", jnp.zeros((), vals.dtype))
+    return c + pre
+
+
+def dcumsum_rev(vals, n_shards: int):
+    c = jnp.cumsum(vals[::-1])[::-1]
+    suf = _shard_suffix(c[0], n_shards, "sum", jnp.zeros((), vals.dtype))
+    return c + suf
+
+
+def dcummax(vals, n_shards: int):
+    c = jax.lax.cummax(vals)
+    pre = _shard_prefix(c[-1], n_shards, "max", _dtype_min(vals.dtype))
+    return jnp.maximum(c, pre)
+
+
+def dcummin_rev(vals, n_shards: int):
+    """Reverse running min (the rev_fill idiom of the merge engine)."""
+    c = jax.lax.cummin(vals, axis=0, reverse=True)
+    suf = _shard_suffix(c[0], n_shards, "min", _dtype_max(vals.dtype))
+    return jnp.minimum(c, suf)
+
+
+def dcummax_rev(vals, n_shards: int):
+    c = jax.lax.cummax(vals, axis=0, reverse=True)
+    suf = _shard_suffix(c[0], n_shards, "max", _dtype_min(vals.dtype))
+    return jnp.maximum(c, suf)
+
+
+def dshift(vals, w, pad_val, local: int, n_shards: int):
+    """Global out[i] = vals[i + w] for traced int w in (-G, G); rows
+    shifted past either end take pad_val."""
+    G = local * n_shards
+    w64 = jnp.asarray(w, jnp.int64)
+    wpos = jnp.where(w64 >= 0, w64, w64 + G)  # rotate by wpos, mask later
+    q = wpos // local
+    r = wpos - q * local
+
+    def rot(block, steps):
+        steps = steps % n_shards
+        if steps == 0:
+            return block
+        perm = [(src, (src - steps) % n_shards) for src in range(n_shards)]
+        return jax.lax.ppermute(block, AXIS, perm)
+
+    def rot_dyn(block, steps):
+        out = block
+        for bit in range(max(1, (2 * n_shards).bit_length())):
+            amt = 1 << bit
+            rotated = rot(out, amt)
+            out = jnp.where((steps & amt) != 0, rotated, out)
+        return out
+
+    a = rot_dyn(vals, q)
+    b = rot(a, 1)
+    li = jnp.arange(local, dtype=jnp.int64)
+    spliced = jnp.where(li + r < local,
+                        a[jnp.minimum(li + r, local - 1)],
+                        b[jnp.clip(li + r - local, 0, local - 1)])
+    gi = gidx64(local) + w64
+    return jnp.where((gi >= 0) & (gi < G), spliced, pad_val)
+
+
+def _bucket_offsets(dest, n_shards: int):
+    """Per-row offset within its destination bucket (dest values in
+    [0, n_shards]; n_shards = dropped rows, offset 0)."""
+    order = jnp.argsort(dest, stable=True)
+    inv = jnp.argsort(order, stable=True)
+    dsorted = dest[order]
+    first = jnp.searchsorted(dsorted, jnp.arange(n_shards))
+    offs_sorted = jnp.where(
+        dsorted < n_shards,
+        jnp.arange(dest.shape[0]) - first[jnp.minimum(dsorted,
+                                                      n_shards - 1)], 0)
+    return offs_sorted[inv]
+
+
+def dgather(vals, q, oob_val, local: int, n_shards: int):
+    """out[j] = global_vals[q[j]] for arbitrary int64 global indices
+    (out-of-range -> oob_val). Two padded all_to_alls: queries route to
+    their owner shard, answers ride the inverse grid."""
+    n_total = local * n_shards
+    inr = (q >= 0) & (q < n_total)
+    qc = jnp.clip(q, 0, n_total - 1)
+    dest = (qc // local).astype(jnp.int32)
+    offs = _bucket_offsets(dest, n_shards)
+    sendq = jnp.zeros((n_shards, local), jnp.int64)
+    sendq = sendq.at[dest, offs].set(qc - dest.astype(jnp.int64) * local)
+    recvq = jax.lax.all_to_all(sendq, AXIS, 0, 0, tiled=False)
+    ans = vals[jnp.clip(recvq, 0, local - 1)]
+    back = jax.lax.all_to_all(ans, AXIS, 0, 0, tiled=False)
+    res = back[dest, offs]
+    return jnp.where(inr, res, oob_val)
+
+
+def dscatter(base, idx, val, local: int, n_shards: int, mode: str = "set"):
+    """Distributed base.at[idx].{set,add,max}(val) over int64 global idx;
+    out-of-range rows drop. ``set`` requires unique live indices (the
+    engine's scatters are disjoint-write by construction)."""
+    G = local * n_shards
+    live = (idx >= 0) & (idx < G)
+    idxc = jnp.clip(idx, 0, G - 1)
+    dest = jnp.where(live, idxc // local, n_shards).astype(jnp.int32)
+    slot = (idxc - (idxc // local) * local).astype(jnp.int32)
+    offs = _bucket_offsets(dest, n_shards)
+    dc = jnp.where(live, dest, n_shards)
+    sendv = jnp.zeros((n_shards, local), val.dtype)
+    sendx = jnp.full((n_shards, local), local, jnp.int32)
+    sendv = sendv.at[dc, offs].set(val, mode="drop")
+    sendx = sendx.at[dc, offs].set(slot, mode="drop")
+    rv = jax.lax.all_to_all(sendv, AXIS, 0, 0, tiled=False).reshape(-1)
+    rx = jax.lax.all_to_all(sendx, AXIS, 0, 0, tiled=False).reshape(-1)
+    if mode == "set":
+        return base.at[rx].set(rv, mode="drop")
+    if mode == "add":
+        return base.at[rx].add(jnp.where(rx < local, rv, 0), mode="drop")
+    return base.at[rx].max(jnp.where(rx < local, rv, _dtype_min(val.dtype)),
+                           mode="drop")
+
+
+def _route_rows(gpos, val, fill, local: int, n_shards: int):
+    """Rows of the irregular (n_shards*local,) exchange layout -> the
+    regular layout at global positions ``gpos`` (unique; out-of-range rows
+    drop). Regular slots receiving no row take ``fill``."""
+    G = local * n_shards
+    live = (gpos >= 0) & (gpos < G)
+    gc = jnp.clip(gpos, 0, G - 1)
+    dest = jnp.where(live, gc // local, n_shards).astype(jnp.int32)
+    slot = (gc - (gc // local) * local).astype(jnp.int32)
+    # per (src, dest) the rows are <= local (dest has only local slots and
+    # gpos is unique), but my rows sharing a dest need distinct bucket
+    # offsets
+    offs = _bucket_offsets(dest, n_shards)
+    sendv = jnp.zeros((n_shards, local), val.dtype)
+    sendx = jnp.full((n_shards, local), local, jnp.int32)
+    sendv = sendv.at[dest, offs].set(val, mode="drop")
+    sendx = sendx.at[dest, offs].set(slot, mode="drop")
+    rv = jax.lax.all_to_all(sendv, AXIS, 0, 0, tiled=False).reshape(-1)
+    rx = jax.lax.all_to_all(sendx, AXIS, 0, 0, tiled=False).reshape(-1)
+    out = jnp.full(local, fill, val.dtype)
+    return out.at[rx].set(rv, mode="drop")
+
+
+def dsort(keys, payloads, local: int, n_shards: int, kmax=I64_MAX):
+    """Globally sort rows by ``keys`` (1 or 2 int64 operands, ascending)
+    carrying ``payloads``; returns (keys_out, payloads_out) in REGULAR
+    layout (each a list). Pad convention: rows with keys[0] >= kmax are
+    pads and come out at the global tail in an arbitrary stable order.
+
+    Sample sort: local sort -> all_gather'd splitter candidates ->
+    padded-bucket all_to_all -> local re-sort -> route every row back to
+    the regular layout at its global rank.
+    """
+    two = len(keys) == 2
+    k0 = keys[0]
+    k1 = keys[1] if two else jnp.zeros_like(k0)
+    ops = jax.lax.sort((k0, k1, *payloads), num_keys=2)
+    k0s, k1s, pays = ops[0], ops[1], list(ops[2:])
+
+    step = max(local // n_shards, 1)
+    cand = jnp.minimum(jnp.arange(n_shards) * step, local - 1)
+    g0 = jax.lax.all_gather(k0s[cand], AXIS, tiled=True)
+    g1 = jax.lax.all_gather(k1s[cand], AXIS, tiled=True)
+    g0, g1 = jax.lax.sort((g0, g1), num_keys=2)
+    spl = jnp.arange(1, n_shards) * n_shards
+    s0, s1 = g0[spl], g1[spl]
+
+    below = (s0[None, :] < k0s[:, None]) | \
+        ((s0[None, :] == k0s[:, None]) & (s1[None, :] <= k1s[:, None]))
+    dest = jnp.sum(below.astype(jnp.int32), axis=1)
+    # rows are locally sorted => dest non-decreasing => offset by first
+    first = jnp.searchsorted(dest, jnp.arange(n_shards), side="left")
+    offs = jnp.arange(local) - first[dest]
+
+    def exch(arr, fill):
+        send = jnp.full((n_shards, local), fill, arr.dtype)
+        send = send.at[dest, offs].set(arr)
+        return jax.lax.all_to_all(send, AXIS, 0, 0,
+                                  tiled=False).reshape(-1)
+
+    r0 = exch(k0s, jnp.asarray(kmax, k0.dtype))
+    r1 = exch(k1s, jnp.asarray(kmax, k1.dtype))
+    rp = [exch(p, jnp.zeros((), p.dtype)) for p in pays]
+    m = jax.lax.sort((r0, r1, *rp), num_keys=2)
+    m0, m1, mp = m[0], m[1], list(m[2:])
+
+    rows = m0.shape[0]
+    ri = jnp.arange(rows, dtype=jnp.int64)
+    live = m0 < kmax
+    nlive = jnp.sum(live.astype(jnp.int64))
+    pads_before = jnp.cumsum((~live).astype(jnp.int64)) - (~live)
+    live_rank = ri - pads_before
+    pre_live = _shard_prefix(nlive, n_shards, "sum", jnp.int64(0))
+    G = local * n_shards
+    # input pad rows and exchange fills both carry kmax keys — neither is
+    # routed; output tail slots take the explicit fills (keys kmax,
+    # payloads 0), which is the pad convention downstream stages assume
+    gpos = jnp.where(live, pre_live + live_rank, jnp.int64(G))
+    out_k0 = _route_rows(gpos, m0, jnp.asarray(kmax, k0.dtype),
+                         local, n_shards)
+    keys_out = [out_k0]
+    if two:
+        keys_out.append(_route_rows(gpos, m1, jnp.asarray(kmax, k1.dtype),
+                                    local, n_shards))
+    pays_out = [_route_rows(gpos, p, jnp.zeros((), p.dtype),
+                            local, n_shards) for p in mp]
+    return keys_out, pays_out

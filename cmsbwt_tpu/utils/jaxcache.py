@@ -25,9 +25,20 @@ def enable_compilation_cache(path: str | None = None) -> None:
     _DONE = True
 
 
-def bucket_size(x: int, ratio: float = 1.25, minimum: int = 1 << 12) -> int:
-    """Smallest geometric bucket >= x (stabilizes jit shapes)."""
+_RATIO = float(os.environ.get("CMSBWT_BUCKET_RATIO", "1.08"))
+
+
+def bucket_size(x: int, ratio: float | None = None,
+                minimum: int = 1 << 12) -> int:
+    """Smallest geometric bucket >= x (stabilizes jit shapes).
+
+    The default ratio trades pad waste (every sort pass carries the pad)
+    against compile count: 1.08 caps the dead weight at 8% (measured 23%
+    at the 20 Mchar bench config under the old 1.25). The persistent XLA
+    cache (enable_compilation_cache) absorbs the extra first-run compiles.
+    Override via CMSBWT_BUCKET_RATIO."""
     b = minimum
+    r = _RATIO if ratio is None else ratio
     while b < x:
-        b = int(b * ratio) + 1
+        b = int(b * r) + 1
     return b

@@ -76,7 +76,8 @@ def _brute_adjacent_lcp(jn, sa, r):
 @pytest.mark.parametrize("seed,snp", [(0, 0.02), (1, 0.0), (2, 0.1)])
 def test_split_levels_bound_adjacent_lcp(seed, snp):
     """split_lv[r] = L implies lcp(sa[r-1], sa[r]) in [2^(L-1), 2^L)
-    (L == 3 only bounds it to < 8)."""
+    (L == SEED_LEVEL only bounds it to < the seed window)."""
+    from cmsbwt_tpu.ops.joint_sa import SEED_LEVEL
     j, b, sp = _joint(200, 3, 50 + seed, snp=snp)
     m = int(j.shape[0])
     sa, isa, hist, pack8, k_star, split_lv = MD._joint_sa(b, sp, m)
@@ -85,9 +86,9 @@ def test_split_levels_bound_adjacent_lcp(seed, snp):
     for r in rng.integers(1, m, size=80):
         ell = _brute_adjacent_lcp(jn, san, r)
         L = lvn[r]
-        assert L >= 3
+        assert L >= SEED_LEVEL
         assert ell < (1 << L), (r, ell, L)
-        if L > 3:
+        if L > SEED_LEVEL:
             assert ell >= (1 << (L - 1)), (r, ell, L)
 
 
