@@ -35,7 +35,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS = "mrg"
-I64_MAX = jnp.int64(1) << 62
+# Python int (jnp.int64 at import time would truncate to int32 when x64
+# is off — dsort's default kmax would become 0 and kill every row)
+I64_MAX = 1 << 62
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -176,47 +178,55 @@ def _bucket_offsets(dest, n_shards: int):
     return offs_sorted[inv]
 
 
-def dgather(vals, q, oob_val, local: int, n_shards: int):
+def dgather(vals, q, oob_val, local_v: int, n_shards: int):
     """out[j] = global_vals[q[j]] for arbitrary int64 global indices
-    (out-of-range -> oob_val). Two padded all_to_alls: queries route to
-    their owner shard, answers ride the inverse grid."""
-    n_total = local * n_shards
+    (out-of-range -> oob_val). ``vals`` lives in a (local_v,)-per-shard
+    domain; ``q`` may come from a different domain (any local length).
+    Two padded all_to_alls: queries route to their owner shard, answers
+    ride the inverse grid."""
+    n_total = local_v * n_shards
+    lq = q.shape[0]
     inr = (q >= 0) & (q < n_total)
     qc = jnp.clip(q, 0, n_total - 1)
-    dest = (qc // local).astype(jnp.int32)
+    dest = (qc // local_v).astype(jnp.int32)
     offs = _bucket_offsets(dest, n_shards)
-    sendq = jnp.zeros((n_shards, local), jnp.int64)
-    sendq = sendq.at[dest, offs].set(qc - dest.astype(jnp.int64) * local)
+    sendq = jnp.zeros((n_shards, lq), jnp.int64)
+    sendq = sendq.at[dest, offs].set(qc - dest.astype(jnp.int64) * local_v)
     recvq = jax.lax.all_to_all(sendq, AXIS, 0, 0, tiled=False)
-    ans = vals[jnp.clip(recvq, 0, local - 1)]
+    ans = vals[jnp.clip(recvq, 0, local_v - 1)]
     back = jax.lax.all_to_all(ans, AXIS, 0, 0, tiled=False)
     res = back[dest, offs]
     return jnp.where(inr, res, oob_val)
 
 
-def dscatter(base, idx, val, local: int, n_shards: int, mode: str = "set"):
-    """Distributed base.at[idx].{set,add,max}(val) over int64 global idx;
-    out-of-range rows drop. ``set`` requires unique live indices (the
-    engine's scatters are disjoint-write by construction)."""
-    G = local * n_shards
+def dscatter(base, idx, val, local_b: int, n_shards: int,
+             mode: str = "set"):
+    """Distributed base.at[idx].{set,add,max}(val) over int64 global idx
+    (``base`` in a (local_b,)-per-shard domain; ``idx``/``val`` from any
+    domain); out-of-range rows drop. ``set`` requires unique live indices
+    (the engine's scatters are disjoint-write by construction)."""
+    G = local_b * n_shards
     live = (idx >= 0) & (idx < G)
     idxc = jnp.clip(idx, 0, G - 1)
-    dest = jnp.where(live, idxc // local, n_shards).astype(jnp.int32)
-    slot = (idxc - (idxc // local) * local).astype(jnp.int32)
+    dest = jnp.where(live, idxc // local_b, n_shards).astype(jnp.int32)
+    slot = (idxc - (idxc // local_b) * local_b).astype(jnp.int32)
     offs = _bucket_offsets(dest, n_shards)
-    dc = jnp.where(live, dest, n_shards)
-    sendv = jnp.zeros((n_shards, local), val.dtype)
-    sendx = jnp.full((n_shards, local), local, jnp.int32)
-    sendv = sendv.at[dc, offs].set(val, mode="drop")
-    sendx = sendx.at[dc, offs].set(slot, mode="drop")
+    lq = idx.shape[0]
+    sendv = jnp.zeros((n_shards, lq), val.dtype)
+    sendx = jnp.full((n_shards, lq), local_b, jnp.int32)
+    sendv = sendv.at[dest, offs].set(jnp.where(live, val,
+                                               jnp.zeros((), val.dtype)),
+                                     mode="drop")
+    sendx = sendx.at[dest, offs].set(jnp.where(live, slot, local_b),
+                                     mode="drop")
     rv = jax.lax.all_to_all(sendv, AXIS, 0, 0, tiled=False).reshape(-1)
     rx = jax.lax.all_to_all(sendx, AXIS, 0, 0, tiled=False).reshape(-1)
     if mode == "set":
         return base.at[rx].set(rv, mode="drop")
     if mode == "add":
-        return base.at[rx].add(jnp.where(rx < local, rv, 0), mode="drop")
-    return base.at[rx].max(jnp.where(rx < local, rv, _dtype_min(val.dtype)),
-                           mode="drop")
+        return base.at[rx].add(jnp.where(rx < local_b, rv, 0), mode="drop")
+    return base.at[rx].max(
+        jnp.where(rx < local_b, rv, _dtype_min(val.dtype)), mode="drop")
 
 
 def _route_rows(gpos, val, fill, local: int, n_shards: int):
