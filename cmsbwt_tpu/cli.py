@@ -45,10 +45,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "this many chars (bounded memory)")
     p.add_argument("--parallel", action="store_true",
                    help="fan dense blocks out over all local devices")
-    p.add_argument("--merge-backend", choices=["auto", "host", "device"],
+    p.add_argument("--merge-backend",
+                   choices=["auto", "host", "device", "sharded"],
                    default="auto",
                    help="downstream merge engine (dense/jump/pallas): host "
-                        "numpy/OpenMP or device sorted joins (default auto)")
+                        "numpy/OpenMP, device sorted joins, or sharded "
+                        "mesh joins (int64-safe, multi-device; default auto)")
     p.add_argument("--checkpoint-dir", default=None,
                    help="phase-boundary checkpoint/resume directory")
     p.add_argument("--no-rle-quirk", action="store_true",

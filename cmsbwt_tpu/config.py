@@ -55,7 +55,9 @@ class Config:
     dense_ctx_chars: Optional[int] = None    # right-context per block
     merge_backend: str = "auto"     # downstream merge engine: "host" (numpy
                                     # + native OpenMP), "device" (sorted
-                                    # joins on the accelerator), "auto"
+                                    # joins on the accelerator), "sharded"
+                                    # (mesh sample-sort joins, int64-safe,
+                                    # parallel/sharded_merge.py), "auto"
     checkpoint_dir: Optional[str] = None  # phase-boundary checkpoint/resume
     replicate_reference_rle_quirk: bool = True  # reproduce ref RLE residual quirk
                                     # (see merge.py; ref :1069-1078 vs :986-994)

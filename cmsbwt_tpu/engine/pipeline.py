@@ -229,6 +229,16 @@ def compute_bwt(cfg: Config) -> dict:
         else:
             route_host = _on_accelerator() and _resolve_merge_backend(
                 "auto", n=len(x_aug), sn=coll.sn) == "host"
+        if cfg.merge_backend == "sharded":
+            dl = download_heads_result(jres, len(x_aug))
+            result = merge_from_heads_sharded(x_aug, dl, coll.d, coll.sn,
+                                              rq, timer)
+            index = ReferenceIndex(
+                x=x_aug,
+                x_padded=np.concatenate([x_aug, np.zeros(1, np.uint8)]),
+                n=len(x_aug), sa=None, isa=None, lcp=None, plcp=None,
+                bwt=None, rank_history=[])
+            return _write_outputs(cfg, outname, index, result, timer)
         if route_host:
             # SARS-like shape: download the compacted heads and finish on
             # the native OpenMP engine (see _resolve_merge_backend)
@@ -350,8 +360,12 @@ def compute_bwt(cfg: Config) -> dict:
                     "irreducible": np.int64(dres.irreducible)})
         index, heads = dense_result_to_inputs(x_aug, dres)
         rq = cfg.rle and cfg.replicate_reference_rle_quirk
-        if (not sn_big
-                and _resolve_merge_backend(cfg.merge_backend) == "device"):
+        mb = _resolve_merge_backend(cfg.merge_backend)
+        if mb == "sharded":
+            # mesh sample-sort merge: int64-safe, so sn_big runs it too
+            result = merge_from_heads_sharded(x_aug, dres, coll.d, coll.sn,
+                                              rq, timer)
+        elif not sn_big and mb == "device":
             result = merge_from_heads_device(
                 x_aug, dres, coll.d, coll.sn, rq, timer,
                 want_counter=len(x_aug) < cfg.small_ref_threshold)
@@ -365,6 +379,27 @@ def compute_bwt(cfg: Config) -> dict:
     result = compute_bwt_arrays(index, coll, rle_quirk, ms=ms, timer=timer,
                                 buffer_bytes=cfg.buffer_gib << 30)
     return _write_outputs(cfg, outname, index, result, timer)
+
+
+def merge_from_heads_sharded(x_aug: np.ndarray, dres, d: int, sn: int,
+                             rle_quirk: bool,
+                             timer: PhaseTimer | None = None,
+                             n_devices: int | None = None) -> PipelineResult:
+    """Downstream merge SHARDED over the device mesh
+    (parallel/sharded_merge.py): all five stages run as sample-sort joins
+    + routed collectives with int64 keys — no device ever holds the full
+    head set, and collections past the int32 device-merge bound are safe.
+    The distributed form of the reference's (pos, idx) head sort and
+    tail-bucket walk (ref CMS-BWT-functions.cpp:588-593, 1517-1603)."""
+    from ..parallel.sharded_merge import merge_heads_sharded
+    timer = timer or PhaseTimer()
+    with timer.phase("merge_sharded"):
+        run_len, run_char = merge_heads_sharded(
+            dres.head_t, dres.head_pos, dres.head_len, dres.head_smaller,
+            dres.head_char, dres.ref_sa, dres.ref_isa, dres.ref_bwt,
+            dres.h, len(x_aug), sn, d, rle_quirk, n_devices=n_devices)
+    return PipelineResult(run_len=run_len, run_char=run_char, d=d, sn=sn,
+                          h=dres.h, counter=None)
 
 
 def merge_from_heads_device(x_aug: np.ndarray, dres, d: int, sn: int,

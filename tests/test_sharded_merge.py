@@ -63,3 +63,28 @@ def test_sharded_merge_duplicate_docs_counterbad(tmp_path):
 
 def test_sharded_merge_single_doc(tmp_path):
     _case(tmp_path, 9, 250, 1, 0.05, False)
+
+
+@pytest.mark.parametrize("rle", [False, True])
+def test_pipeline_merge_backend_sharded(tmp_path, rle):
+    """compute_bwt(merge_backend='sharded') is byte-equal to the host
+    merge end to end (dense scan feeding the mesh sample-sort merge)."""
+    from cmsbwt_tpu.config import Config
+    from cmsbwt_tpu.engine.pipeline import compute_bwt
+
+    rng = np.random.default_rng(11)
+    ref = random_dna(rng, 600)
+    docs = [mutate(rng, ref, 0.02) for _ in range(4)]
+    (tmp_path / "ref.fa").write_bytes(b">r\n" + ref + b"\n")
+    (tmp_path / "coll.fa").write_bytes(make_fasta(docs))
+    (tmp_path / "in.txt").write_text(
+        f"{tmp_path / 'ref.fa'}\n{tmp_path / 'coll.fa'}\n")
+
+    outs = {}
+    for mb in ("sharded", "host"):
+        out = compute_bwt(Config(
+            filename=str(tmp_path / "in.txt"), rle=rle,
+            outname=str(tmp_path / f"out_{mb}"),
+            backend="dense", merge_backend=mb))
+        outs[mb] = open(out["out_path"], "rb").read()
+    assert outs["sharded"] == outs["host"]
