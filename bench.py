@@ -1,20 +1,34 @@
 """Driver benchmark: end-to-end CMS-BWT on synthetic pangenome data.
 
-Prints ONE JSON line:
+ALWAYS prints ONE JSON line, even when every config fails or times out:
   {"metric": ..., "value": N, "unit": "Mchars/s", "vs_baseline": N,
-   "platform": ..., "configs": [...]}
+   "platform": ..., "headline_config": ..., "configs": [...]}
 
-value / vs_baseline come from the PRIMARY config (2 Mbp ref x 10 docs at
-1 % SNP, plain output — the headline number tracked across rounds);
-``configs`` carries one entry per BASELINE.json-measurable shape:
+value / vs_baseline come from the PRIMARY config only (2 Mbp ref x 10 docs
+at 1 % SNP, plain output — the headline number tracked across rounds); if
+the primary config has no clean byte-equal entry they are -1.0 and
+``headline_config`` is null — the headline never silently substitutes a
+different config (advisor r03 medium finding). ``configs`` carries one
+entry per BASELINE.json-measurable shape:
 
   primary      2 Mbp ref, 10 docs, 1 % SNP, plain      (headline)
   toy_lowdiv   1 Mbp ref, 10 docs, 0.1 % SNP, plain    (BASELINE config 1 —
                the reference's strongest regime: long PLCP skips)
-  sars_stream  30 Kbp ref, ~30 Mchars of docs, -p cut  (BASELINE config 3
+  sars_stream  30 Kbp ref, ~25 Mchars of docs, -p cut  (BASELINE config 3
                shape: tiny reference, huge collection, prefix streaming)
   ecoli_rle    5 Mbp ref, 20 docs = 100 Mchars, -r     (BASELINE config 2
                shape at reduced doc count; BENCH_FULL=1 runs 100 docs)
+
+Robustness contract (VERDICT r03 item 1 — two rounds of perf work were
+lost to rc=124 timeouts):
+  * every config runs in a SUBPROCESS under a watchdog timeout, so a
+    wedged XLA compile cannot strand the driver line;
+  * a global wall-clock budget (BENCH_BUDGET_S, default 1500 s) is checked
+    between configs — on expiry the remaining configs are recorded as
+    skipped and the line prints with whatever completed;
+  * the accelerator health probe COMPILES AND EXECUTES a small jitted
+    program under timeout (a healthy tunnel answers in ~1 s); merely
+    enumerating devices passed while the compile path was wedged.
 
 Per config: our timing is best-of-N after a warm-up compile run; the
 reference binary is timed best-of-3 (best-of-2 above 100 Mchars) and the
@@ -22,11 +36,14 @@ spread (min..max) is printed so run-to-run noise on the shared host is
 visible next to the ratio (judge request, VERDICT r02 Weak #1).
 
 Env knobs:
-  BENCH_CONFIGS   comma list to run (default: all four)
-  BENCH_FULL=1    full-scale ecoli (100 docs = 500 Mchars) + sars (90 Mchars)
+  BENCH_CONFIGS     comma list to run (default: all four)
+  BENCH_BUDGET_S    global wall-clock budget in seconds (default 1500)
+  BENCH_CONFIG_TIMEOUT_S  hard per-config cap (default: per-config table)
+  BENCH_FULL=1      full-scale ecoli (100 docs = 500 Mchars) + sars (90 Mchars)
   BENCH_REF_MBP / BENCH_DOCS / BENCH_SNP / BENCH_BACKEND / BENCH_BLOCK_CHARS
-                  override the primary config (legacy single-config knobs)
+                    override the primary config (legacy single-config knobs)
 """
+import argparse
 import json
 import os
 import pathlib
@@ -79,7 +96,11 @@ def ensure_reference_binary() -> pathlib.Path | None:
 def run_reference(tmp: pathlib.Path, lst: pathlib.Path, reps: int,
                   rle: bool = False,
                   prefix: int | None = None) -> tuple[float, float]:
-    """(best, worst) wall-clock over ``reps`` runs of the C++ reference."""
+    """(best, worst) wall-clock over ``reps`` runs of the C++ reference.
+
+    A reference-binary crash or timeout returns (-1, -1) instead of raising
+    so the already-measured ``ours`` timing survives in the entry
+    (advisor r03 low finding)."""
     ref_bin = ensure_reference_binary()
     if ref_bin is None:
         return -1.0, -1.0
@@ -92,26 +113,47 @@ def run_reference(tmp: pathlib.Path, lst: pathlib.Path, reps: int,
     best, worst = float("inf"), 0.0
     for _ in range(reps):
         t0 = time.time()
-        subprocess.run(args, check=True, capture_output=True)
+        try:
+            subprocess.run(args, check=True, capture_output=True,
+                           timeout=1200)
+        except (subprocess.CalledProcessError, subprocess.TimeoutExpired) as e:
+            print(f"# reference binary failed: {type(e).__name__}",
+                  file=sys.stderr)
+            return -1.0, -1.0
         dt = time.time() - t0
         best, worst = min(best, dt), max(worst, dt)
     return best, worst
 
 
+def files_equal(a: pathlib.Path, b: pathlib.Path, chunk=1 << 24) -> bool:
+    """Chunked comparison — full-file read_bytes() on the 500 MB BENCH_FULL
+    outputs costs ~1 GB transient (advisor r03 low finding)."""
+    if a.stat().st_size != b.stat().st_size:
+        return False
+    with open(a, "rb") as fa, open(b, "rb") as fb:
+        while True:
+            ca, cb = fa.read(chunk), fb.read(chunk)
+            if ca != cb:
+                return False
+            if not ca:
+                return True
+
+
 CONFIGS = {
-    # name: (ref_mbp, docs, snp, rle, prefix_frac, ours_reps, ref_reps)
+    # name: (ref_mbp, docs, snp, rle, prefix, ours_reps, ref_reps, timeout_s)
     "primary": dict(ref_mbp=2.0, docs=10, snp=0.01, rle=False,
-                    prefix=None, ours_reps=2, ref_reps=3),
+                    prefix=None, ours_reps=2, ref_reps=3, timeout_s=600),
     "toy_lowdiv": dict(ref_mbp=1.0, docs=10, snp=0.001, rle=False,
-                       prefix=None, ours_reps=2, ref_reps=3),
+                       prefix=None, ours_reps=2, ref_reps=3, timeout_s=420),
     "sars_stream": dict(ref_mbp=0.03, docs=1000, snp=0.005, rle=False,
-                        prefix=25_000_000, ours_reps=2, ref_reps=3),
+                        prefix=25_000_000, ours_reps=2, ref_reps=3,
+                        timeout_s=600),
     "ecoli_rle": dict(ref_mbp=5.0, docs=20, snp=0.01, rle=True,
-                      prefix=None, ours_reps=1, ref_reps=2),
+                      prefix=None, ours_reps=1, ref_reps=2, timeout_s=900),
 }
 FULL_OVERRIDES = {
-    "sars_stream": dict(docs=3000, prefix=80_000_000),
-    "ecoli_rle": dict(docs=100),
+    "sars_stream": dict(docs=3000, prefix=80_000_000, timeout_s=1800),
+    "ecoli_rle": dict(docs=100, timeout_s=3600),
 }
 
 
@@ -161,8 +203,7 @@ def run_one_config(name: str, spec: dict, platform: str,
     vs = -1.0
     if ref_best > 0:
         ext = ".rl_bwt" if spec["rle"] else ".bwt"
-        equal = ((tmp / ("ours" + ext)).read_bytes()
-                 == (tmp / ("refout" + ext)).read_bytes())
+        equal = files_equal(tmp / ("ours" + ext), tmp / ("refout" + ext))
         vs = ref_best / ours_s
     entry = {
         "config": name, "ref_mbp": spec["ref_mbp"], "docs": spec["docs"],
@@ -179,9 +220,11 @@ def run_one_config(name: str, spec: dict, platform: str,
     return entry
 
 
-def main():
-    # legacy single-config override: if any BENCH_REF_MBP/DOCS/SNP knob is
-    # set, run ONLY the primary config with those values
+def apply_env_overrides() -> list[str] | None:
+    """Mutate CONFIGS from the env knobs; returns the explicit config-name
+    list (or None = all). Called in BOTH the parent and the --run-config
+    child (the child re-imports this module, so parent-side mutation alone
+    would silently run default shapes)."""
     legacy = any(k in os.environ for k in
                  ("BENCH_REF_MBP", "BENCH_DOCS", "BENCH_SNP"))
     names = os.environ.get("BENCH_CONFIGS")
@@ -193,33 +236,80 @@ def main():
             snp=float(os.environ.get("BENCH_SNP", "0.01")))
     elif names:
         names = [s.strip() for s in names.split(",") if s.strip()]
-    else:
-        names = list(CONFIGS)
     if os.environ.get("BENCH_FULL"):
         for k, ov in FULL_OVERRIDES.items():
             CONFIGS[k].update(ov)
+    return names
 
-    # accelerator health check: a crashed/unavailable TPU worker must not
-    # leave the driver without a bench line. The check runs in a SUBPROCESS
-    # with a timeout because a wedged axon init blocks ~25 min in-process;
-    # on failure the bench falls back to the CPU platform (the number then
-    # reflects CPU XLA and is flagged).
-    platform = "tpu"
-    try:
-        probe = subprocess.run(
-            [sys.executable, "-u", "-c",
-             "import jax; assert any(d.platform != 'cpu' "
-             "for d in jax.devices()); print('ok')"],
-            capture_output=True, timeout=300, check=False)
-        healthy = probe.returncode == 0
-    except subprocess.TimeoutExpired:
-        healthy = False
-    if not healthy:
-        print("# accelerator unavailable; falling back to CPU platform",
-              file=sys.stderr)
-        os.environ["JAX_PLATFORMS"] = "cpu"
+
+def child_main(name: str, emit: str, platform: str) -> None:
+    """--run-config child: run one config, write its JSON entry to ``emit``.
+
+    Runs in its own process so the parent's watchdog can kill a wedged XLA
+    compile without losing the driver line."""
+    if platform == "cpu":
+        # the site's TPU bootstrap force-sets JAX_PLATFORMS=axon at
+        # interpreter start, so the inherited env var alone cannot pin the
+        # child to CPU — only jax.config can (same trick as tests/conftest)
         import jax
         jax.config.update("jax_platforms", "cpu")
+    apply_env_overrides()
+    spec = CONFIGS[name]
+    try:
+        entry = run_one_config(name, spec, platform,
+                               os.environ.get("BENCH_BACKEND"),
+                               os.environ.get("BENCH_BLOCK_CHARS"))
+    except Exception as e:
+        entry = {"config": name,
+                 "error": f"{type(e).__name__}: {str(e)[:200]}"}
+        print(f"# [{name}] FAILED: {type(e).__name__}: {str(e)[:300]}",
+              file=sys.stderr)
+    pathlib.Path(emit).write_text(json.dumps(entry))
+
+
+def probe_accelerator(timeout_s: float = 150.0) -> bool:
+    """True iff a non-CPU device can COMPILE AND EXECUTE a jitted program
+    within the timeout. Enumerating devices is not enough: the r03 failure
+    mode was a healthy device list with a minutes-per-program compile path
+    (VERDICT r03 weak #2)."""
+    code = (
+        "import jax, jax.numpy as jnp\n"
+        "assert any(d.platform != 'cpu' for d in jax.devices())\n"
+        "r = jax.jit(lambda x: (x * 2 + 1).sum())"
+        "(jnp.ones(1024, jnp.float32))\n"
+        "assert float(r) == 3072.0\n"
+        "print('ok')\n")
+    try:
+        probe = subprocess.run([sys.executable, "-u", "-c", code],
+                               capture_output=True, timeout=timeout_s,
+                               check=False)
+        return probe.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--run-config", help="child mode: run one named config")
+    ap.add_argument("--emit", help="child mode: write the entry JSON here")
+    ap.add_argument("--platform", default="tpu")
+    cli = ap.parse_args()
+    if cli.run_config:
+        child_main(cli.run_config, cli.emit, cli.platform)
+        return
+
+    t_start = time.time()
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+
+    # legacy single-config override: if any BENCH_REF_MBP/DOCS/SNP knob is
+    # set, run ONLY the primary config with those values
+    names = apply_env_overrides() or list(CONFIGS)
+
+    platform = "tpu"
+    if not probe_accelerator():
+        print("# accelerator compile probe failed; "
+              "falling back to CPU platform", file=sys.stderr)
+        os.environ["JAX_PLATFORMS"] = "cpu"
         platform = "cpu"
         if "BENCH_BACKEND" not in os.environ:
             # best measured CPU path at the primary config: jump at 1024
@@ -232,28 +322,56 @@ def main():
         # keep the driver line meaningful with the primary config only
         names = [n for n in names if n == "primary"] or ["primary"]
 
-    backend_override = os.environ.get("BENCH_BACKEND")
-    block_override = os.environ.get("BENCH_BLOCK_CHARS")
+    cap_override = os.environ.get("BENCH_CONFIG_TIMEOUT_S")
     entries = []
     for name in names:
+        elapsed = time.time() - t_start
+        remaining = budget_s - elapsed
+        if remaining < 90:
+            entries.append({"config": name,
+                            "error": "skipped: bench budget exhausted"})
+            print(f"# [{name}] skipped: {remaining:.0f}s left of "
+                  f"{budget_s:.0f}s budget", file=sys.stderr)
+            continue
+        cap = float(cap_override) if cap_override else \
+            float(CONFIGS[name].get("timeout_s", 600))
+        cap = min(cap, remaining)
+        emit = tempfile.NamedTemporaryFile(suffix=".json", delete=False)
+        emit.close()
+        print(f"# [{name}] starting (cap {cap:.0f}s, "
+              f"{remaining:.0f}s budget left)", file=sys.stderr)
         try:
-            entries.append(run_one_config(name, CONFIGS[name], platform,
-                                          backend_override, block_override))
-        except Exception as e:  # one config must not strand the driver line
-            print(f"# [{name}] FAILED: {type(e).__name__}: {str(e)[:300]}",
+            subprocess.run(
+                [sys.executable, "-u", __file__, "--run-config", name,
+                 "--emit", emit.name, "--platform", platform],
+                timeout=cap, check=False,
+                stdout=sys.stderr.fileno(), stderr=sys.stderr.fileno())
+        except subprocess.TimeoutExpired:
+            print(f"# [{name}] watchdog timeout after {cap:.0f}s",
                   file=sys.stderr)
-            entries.append({"config": name, "error": f"{type(e).__name__}: "
-                            f"{str(e)[:200]}"})
+        try:
+            text = pathlib.Path(emit.name).read_text()
+            entry = json.loads(text) if text.strip() else {
+                "config": name, "error": f"timeout after {cap:.0f}s"}
+        except Exception:
+            entry = {"config": name, "error": f"timeout after {cap:.0f}s"}
+        finally:
+            os.unlink(emit.name)
+        entries.append(entry)
 
+    # headline = primary, clean and byte-equal (byte_equal None = reference
+    # binary unavailable, still reportable; False = disqualified)
     head = next((e for e in entries
-                 if e.get("config") == "primary" and "error" not in e),
-                next((e for e in entries if "error" not in e), None))
+                 if e.get("config") == "primary" and "error" not in e
+                 and e.get("byte_equal") is not False), None)
     line = {
         "metric": "cms_bwt_end_to_end_throughput",
         "value": head["tput_mchars_s"] if head else -1.0,
         "unit": "Mchars/s",
         "vs_baseline": head["vs_baseline"] if head else -1.0,
         "platform": platform,
+        "headline_config": "primary" if head else None,
+        "wall_s": round(time.time() - t_start, 1),
         "configs": entries,
     }
     print(json.dumps(line))
