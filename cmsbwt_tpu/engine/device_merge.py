@@ -460,15 +460,18 @@ def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
 
 
 @functools.partial(jax.jit, static_argnames=("h_pad", "e_pad", "em_pad"))
-def tail_exact_dev(cls, pairs, slot_base, member_rank_sorted, cls_of_slot,
-                   e_pidx, e_fnd, src_cls, n_exact, h,
+def tail_exact_dev(counter_in, cls, pairs, slot_base, member_rank_sorted,
+                   cls_of_slot, e_pidx, e_fnd, src_cls, n_exact, h,
                    h_pad: int, e_pad: int, em_pad: int):
     """Exact-key (counterBad) path: member-wise sorted-list merge
     (ref :1567-1589) as one upper_bound join over the global slot array.
 
     ``e_pidx``/``e_fnd`` are the compacted exact pairs (pair index, found
     class); src class and bucket idx come from e_pad-sized gathers into
-    the per-pair arrays — tiny relative to the member join."""
+    the per-pair arrays — tiny relative to the member join. Returns
+    ``counter_in`` plus this path's credits (the add lives in-program: a
+    bare ``a + b`` on device arrays is its own jit program, and every
+    extra program costs a serial cold-compile round trip)."""
     eidx = jnp.arange(e_pad, dtype=jnp.int32)
     evalid = eidx < n_exact
     ep = jnp.clip(e_pidx[:e_pad], 0, src_cls.shape[0] - 1)
@@ -523,7 +526,7 @@ def tail_exact_dev(cls, pairs, slot_base, member_rank_sorted, cls_of_slot,
     counter = counter.at[
         jnp.where(spill_ok, slot_base[jnp.clip(dst + 1, 0, h_pad - 1)],
                   h_pad + 1)].add(1, mode="drop")
-    return counter
+    return counter_in + counter
 
 
 # ---------------------------------------------------------------------------
@@ -703,34 +706,88 @@ def runs_emit_dev(cls, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
 # ---------------------------------------------------------------------------
 
 def _pow2_pad(x: int, cap: int) -> int:
-    """Geometric (1.25x) padding bucket: stable jit shapes at ~1/8 the pad
-    waste of power-of-two rounding (pad waste is real time here — sorts,
-    fills, and the host download all run over the padded length)."""
+    """Geometric padding bucket (utils/jaxcache ratio): stable jit shapes
+    at a fraction of the pad waste of power-of-two rounding (pad waste is
+    real time here — sorts, fills, and the host download all run over the
+    padded length)."""
     from ..utils.jaxcache import bucket_size
     p = bucket_size(max(x, 1))
     return min(p, cap) if cap else p
 
 
-@functools.partial(jax.jit, static_argnames=("r_cut",))
-def _slice1(a, r_cut: int):
-    return jax.lax.dynamic_slice(a, (0,), (r_cut,))
+def _cls_avals(h_pad: int, with_slot: bool):
+    """ShapeDtypeStruct pytree matching group_dev's output dict (plus
+    cls_of_slot once class_ranks_dev ran) — prewarm needs the exact tree."""
+    from ..utils import prewarm
+    i32 = jnp.int32
+    v = lambda: prewarm.sds((h_pad,), i32)
+    cls = dict(n_classes=prewarm.sds((), i32), pos=v(), length=v(),
+               isa_next=v(), smaller=prewarm.sds((h_pad,), jnp.bool_),
+               until_next=v(), size=v(), key_k=v(), member_head=v(),
+               member_off=v(), gid_sorted=v(), order_sorted=v(),
+               text_rank=v())
+    if with_slot:
+        cls["cls_of_slot"] = v()
+    return cls
 
 
-@functools.partial(jax.jit, static_argnames=("r_cut",))
-def _slice2(a, b, r_cut: int):
-    sl = lambda x: jax.lax.dynamic_slice(x, (0,), (r_cut,))
-    return sl(a), sl(b)
+def merge_prewarm(h_pad: int, n_pad: int, rle_quirk: bool):
+    """Fire the h/n-shaped merge programs concurrently the moment the head
+    count is known (the pair-dependent tail programs follow in mini-waves
+    once their counts exist). See utils/prewarm for the cold-compile
+    rationale."""
+    from ..utils import prewarm
+    w = prewarm.Wave()
+    if not prewarm.enabled():
+        return w
+    S, i32, u8 = prewarm.sds, jnp.int32, jnp.uint8
+    sc = S((), i32)
+    ih = S((h_pad,), i32)
+    ih1 = S((h_pad + 1,), i32)
+    inn = S((n_pad,), i32)
+    w.add("fixup", fixup_dev, ih, ih, ih, sc, inn, h_pad=h_pad)
+    w.add("tail_counts", tail_counts_dev, ih, ih, sc,
+          h_pad=h_pad, n_pad=n_pad)
+    w.add("group", group_dev, ih, ih, S((h_pad,), jnp.bool_), ih, ih,
+          sc, sc, h_pad=h_pad)
+    w.add("class_ranks", class_ranks_dev, _cls_avals(h_pad, False), inn,
+          sc, sc, sc, h_pad=h_pad)
+    w.add("head_sa", head_string_sa_dev, ih1, sc, h_pad=h_pad)
+    w.add("rank_heads", rank_heads_dev, _cls_avals(h_pad, True), ih1,
+          S((h_pad,), u8), ih, sc, h_pad=h_pad)
+    w.add("tail_pairs", tail_pairs_count_dev, _cls_avals(h_pad, True),
+          h_pad=h_pad)
+    w.add("runs_emit", runs_emit_dev, _cls_avals(h_pad, True), ih, ih,
+          S((h_pad + 2,), i32), inn, S((h_pad,), u8), inn, inn,
+          S((n_pad,), u8), sc, sc,
+          h_pad=h_pad, n_pad=n_pad, rle_quirk=rle_quirk)
+    return w
+
+
+def _pairs_avals(h_pad: int):
+    from ..utils import prewarm
+    i32 = jnp.int32
+    v = lambda: prewarm.sds((h_pad,), i32)
+    # ``total`` is int32 here: the orchestrator replaces the device int64
+    # sum with a host-round-tripped int32 scalar before the tail stages
+    # (an int64 aval would be canonicalized during AOT lowering while the
+    # concrete int64 kept its type at dispatch — signature mismatch)
+    return dict(bucket_pos=v(), n_buckets=prewarm.sds((), i32), cls_lo=v(),
+                cls_hi=v(), bucket_of_class=v(), pair_lo=v(), pair_cnt=v(),
+                total=prewarm.sds((), i32))
 
 
 def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
                  ref_sa, ref_isa, ref_bwt, h: int, n: int, sn: int, d: int,
-                 rle_quirk: bool, want_counter: bool = True):
+                 rle_quirk: bool, want_counter: bool = True, wave=None):
     """Full downstream merge on device; returns (run_len, run_char) numpy.
 
     Inputs are device arrays: heads padded to h_pad (valid prefix h, stream
     order), reference index padded to n_pad. ``want_counter`` gates the
     counter download (an O(h) transfer) — the pipeline only needs it for
-    the small-path debug artifact (ref :919-924).
+    the small-path debug artifact (ref :919-924). ``wave`` is an optional
+    already-started merge_prewarm Wave (the scan fires it as soon as h is
+    known, overlapping these compiles with its own tail).
     """
     from ..ops.ms_dense import _stage_timer
     from ..utils.xfer import get as _get, put_i32 as _put_i32
@@ -741,31 +798,53 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
     assert n < (1 << 30), "device merge supports references < 2^30 chars"
     h_pad = int(head_t.shape[0])
     n_pad = int(ref_sa.shape[0])
+    if wave is None:
+        wave = merge_prewarm(h_pad, n_pad, rle_quirk)
     d_t = _put_i32(d)
     n_t = _put_i32(n)
     h_t = _put_i32(h)
 
+    wave.ready("fixup")
     to_next, isa_next, succ = fixup_dev(head_t, head_pos, head_len, h_t,
                                         ref_isa, h_pad)
     mark("fixup", to_next)
+    wave.ready("tail_counts")
     tails_cnt = tail_counts_dev(head_pos, to_next, h_t, h_pad, n_pad)
+    wave.ready("group")
     cls = group_dev(head_pos, head_len, head_smaller, to_next, isa_next,
                     h_t, n_t, h_pad)
     mark("group", cls["member_off"])
+    wave.ready("class_ranks")
     rank_to_head, sa_ord, cls_of_slot = class_ranks_dev(
         cls, ref_isa, h_t, d_t, n_t, h_pad)
     cls["cls_of_slot"] = cls_of_slot
+    wave.ready("head_sa")
     head_to_rank = head_string_sa_dev(rank_to_head, h_t, h_pad)
     mark("head_string_sa", head_to_rank)
+    wave.ready("rank_heads")
     final_rank, bwt_heads, succ_rank, member_rank_sorted = rank_heads_dev(
         cls, head_to_rank, head_char, succ, h_t, h_pad)
     slot_base = cls["member_off"]
     mark("rank_heads", final_rank)
 
+    wave.ready("tail_pairs")
     pairs = tail_pairs_count_dev(cls, h_pad)
     total_pairs = int(_get(pairs["total"]))
     mark("tail_pairs_count(P=%d)" % total_pairs)
     p_pad = _pow2_pad(total_pairs + 1, 0)
+    assert total_pairs < (1 << 31), \
+        "tail pair volume exceeds the int32 device merge"
+    # int32 scalar for the tail stages (see _pairs_avals); the int64 sum
+    # already served its purpose (overflow-safe host fetch)
+    pairs = dict(pairs, total=_put_i32(total_pairs))
+    from ..utils import prewarm as _prewarm
+    tg_wave = _prewarm.Wave()
+    if _prewarm.enabled():
+        S, i32 = _prewarm.sds, jnp.int32
+        tg_wave.add("tail_good", tail_good_dev, _cls_avals(h_pad, True),
+                    _pairs_avals(h_pad), S((h_pad,), i32), S((), i32),
+                    S((), i32), h_pad=h_pad, p_pad=p_pad)
+    tg_wave.ready("tail_good")
     counter, n_exact_d, exact_members_d, e_pidx, e_fnd, src_cls = \
         tail_good_dev(cls, pairs, slot_base, h_t, n_t, h_pad, p_pad)
     n_exact = int(_get(n_exact_d))
@@ -774,38 +853,39 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
     if n_exact:
         e_pad = _pow2_pad(n_exact, 0)
         em_pad = _pow2_pad(exact_members, 0)
-        counter = counter + tail_exact_dev(
-            cls, pairs, slot_base, member_rank_sorted, cls_of_slot,
+        counter = tail_exact_dev(
+            counter, cls, pairs, slot_base, member_rank_sorted, cls_of_slot,
             e_pidx, e_fnd, src_cls, _put_i32(n_exact), h_t,
             h_pad, e_pad, em_pad)
         mark("tail_exact", counter)
 
+    wave.ready("runs_emit")
     (p16, big_idx, big_len, big_chr, rl_d, rc_d,
      scalars) = runs_emit_dev(
-        cls, sa_ord, slot_base, _slice1(counter, h_pad), tails_cnt,
+        cls, sa_ord, slot_base, counter, tails_cnt,
         bwt_heads,
         ref_sa, ref_isa, ref_bwt, d_t, n_t, h_pad, n_pad, rle_quirk)
     n_nz, maxlen, n_big = (int(v) for v in _get(scalars))
     mark("runs_emit(R=%d,big=%d)" % (n_nz, n_big))
-    r_pad_full = int(p16.shape[0])
-    r_cut = _pow2_pad(max(n_nz, 1), r_pad_full)
+    # full-array downloads + host slicing: a device-side slice-to-bucket
+    # is its own jit program (two cold round trips right at the end of the
+    # pipeline); the full run list is a few MB of uint16 — cheaper than
+    # the compiles it replaces even at the 100 Mchar configs
     if n_big * 10 <= max(n_nz, 1) * 2:
         # 2 bytes/run; runs with len >= 256 spill to a compacted
         # (index, len, char) overflow list
-        p_np = _get(_slice1(p16, r_cut))[:n_nz]
+        p_np = _get(p16)[:n_nz]
         rl = (p_np >> 8).astype(np.int64)
         rc = (p_np & 0xFF).astype(np.uint8)
         if n_big:
-            b_cut = _pow2_pad(max(n_big, 1), r_pad_full)
-            bi_np, bl_np = (_get(a)[:n_big] for a in
-                            _slice2(big_idx, big_len, b_cut))
-            bc_np = _get(_slice1(big_chr, b_cut))[:n_big]
+            bi_np = _get(big_idx)[:n_big]
+            bl_np = _get(big_len)[:n_big]
+            bc_np = _get(big_chr)[:n_big]
             rl[bi_np] = bl_np.astype(np.int64)
             rc[bi_np] = bc_np
     else:
-        rl_np, rc_np = _slice2(rl_d, rc_d, r_cut)
-        rl = _get(rl_np)[:n_nz].astype(np.int64)
-        rc = _get(rc_np)[:n_nz]
+        rl = _get(rl_d)[:n_nz].astype(np.int64)
+        rc = _get(rc_d)[:n_nz]
     mark("runs_download")
     # counterSmallerThanHead, slot-indexed (debug artifact parity,
     # ref :919-924); host layout is int64[h+1]
@@ -815,7 +895,7 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
 
 
 def merge_heads_device_resident(dres, d: int, rle_quirk: bool,
-                                want_counter: bool = True):
+                                want_counter: bool = True, wave=None):
     """Merge a DeviceHeadsResult (ops/ms_dense.ms_dense_heads_on_device)
     without any host round-trip: the head records and reference index are
     already device arrays in merge layout (zero pads)."""
@@ -825,7 +905,8 @@ def merge_heads_device_resident(dres, d: int, rle_quirk: bool,
     return merge_device(
         dres.head_t, dres.head_pos, dres.head_len, dres.head_smaller,
         dres.head_char, dres.ref_sa, dres.ref_isa, dres.ref_bwt,
-        dres.h, dres.n, dres.sn, d, rle_quirk, want_counter=want_counter)
+        dres.h, dres.n, dres.sn, d, rle_quirk, want_counter=want_counter,
+        wave=wave)
 
 
 def merge_heads_numpy(head_t, head_pos, head_len, head_smaller, head_char,

@@ -302,13 +302,24 @@ def compute_bwt(cfg: Config) -> dict:
         if device_resident:
             from ..ops.ms_dense import ms_dense_heads_on_device
             rq = cfg.rle and cfg.replicate_reference_rle_quirk
+            # fire the merge engine's prewarm wave the moment the scan
+            # knows the head count, overlapping those compiles with the
+            # scan tail (utils/prewarm)
+            mw = {}
+
+            def _merge_hook(h_pad, n_pad):
+                from .device_merge import merge_prewarm
+                mw["wave"] = merge_prewarm(h_pad, n_pad, rq)
+
             with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
-                ddres = ms_dense_heads_on_device(x_aug, coll.sx)
+                ddres = ms_dense_heads_on_device(x_aug, coll.sx,
+                                                 merge_hook=_merge_hook)
             with timer.phase("merge_device"):
                 from .device_merge import merge_heads_device_resident
                 run_len, run_char, counter = merge_heads_device_resident(
                     ddres, coll.d, rq,
-                    want_counter=len(x_aug) < cfg.small_ref_threshold)
+                    want_counter=len(x_aug) < cfg.small_ref_threshold,
+                    wave=mw.get("wave"))
             index = ReferenceIndex(
                 x=x_aug, x_padded=np.concatenate(
                     [x_aug, np.zeros(1, np.uint8)]),

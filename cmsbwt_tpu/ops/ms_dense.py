@@ -225,18 +225,37 @@ def _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all, isa,
     """Host-orchestrated leveled lift: one small dispatch per hist level,
     each over the bucketed prefix of pairs still in range (lv >= k+2).
     rho_stats = host copy of the _irreducible_slots stats vector."""
+    from ..utils import prewarm
     from ..utils.jaxcache import bucket_size
     from .joint_sa import SEED_LEVEL
     hist_lv = rho_stats[1:]
-    ai, bi, h = _lift_start(ai_all, bi_all, lv_all, m, rho_pad)
     live = np.nonzero(hist_lv)[0]
     lmax = int(live.max()) if len(live) else 0
+    # (k, c_pad) schedule first, so every level program compiles
+    # concurrently before the serial dispatch chain starts
+    sched = []
     for k in range(lmax - 2, SEED_LEVEL - 1, -1):
         cnt = int(hist_lv[k + 2:].sum())
-        if cnt == 0:
-            continue
-        c_pad = min(bucket_size(cnt), rho_pad)
+        if cnt:
+            sched.append((k, min(bucket_size(cnt), rho_pad)))
+    wave = prewarm.Wave()
+    if prewarm.enabled():
+        S, i32 = prewarm.sds, jnp.int32
+        im = S((m,), i32)
+        ir = S((rho_pad,), i32)
+        hv = S(tuple(hist.shape), jnp.int32)
+        wave.add("start", _lift_start, im, im, im, m=m, rho_pad=rho_pad)
+        for c_pad in sorted({c for _, c in sched}):
+            wave.add(f"lv{c_pad}", _lift_level_step, ir, ir, ir, hv,
+                     S((), i32), m=m, c_pad=c_pad)
+        wave.add("fill", _lift_bytes_fill, ir, ir, ir, S((m,), jnp.int64),
+                 im, x64=True, m=m, rho_pad=rho_pad)
+    wave.ready("start")
+    ai, bi, h = _lift_start(ai_all, bi_all, lv_all, m, rho_pad)
+    for k, c_pad in sched:
+        wave.ready(f"lv{c_pad}")
         h = _lift_level_step(h, ai, bi, hist, _put_i32(k), m, c_pad)
+    wave.ready("fill")
     return _lift_bytes_fill(h, ai, bi, pack8, isa, m, rho_pad)
 
 
@@ -428,6 +447,31 @@ def _stage_timer():
     return mark
 
 
+def _scan_prewarm(n_pad: int, sn_pad: int, m: int):
+    """Wave A: every scan program whose shapes are known from (n, sn)
+    alone, fired concurrently at entry (utils/prewarm rationale)."""
+    from ..utils import prewarm
+    from .joint_sa import joint_suffix_array
+    w = prewarm.Wave()
+    if not prewarm.enabled():
+        return w
+    S, i32, u8 = prewarm.sds, jnp.int32, jnp.uint8
+    sc = S((), i32)
+    im = S((m,), i32)
+    w.add("build", _build_joint_device, S((n_pad,), u8), S((sn_pad,), u8),
+          sc, sc, sc, n_pad=n_pad, sn_pad=sn_pad)
+    w.add("jsa", joint_suffix_array, S((m,), u8), im, m=m)
+    w.add("irr", _irreducible_slots, S((m,), u8), im, im, im, im,
+          sc, sc, m=m, n_pad=n_pad)
+    w.add("nbr", _neighbors, im, im, sc, m=m)
+    w.add("asm", _assemble, im, im, im, im, im, sc, sc,
+          m=m, n_pad=n_pad, sn_pad=sn_pad)
+    w.add("post", _postprocess, S((m,), u8), S((sn_pad,), i32),
+          S((sn_pad,), i32), S((sn_pad,), jnp.bool_), sc, sc,
+          n_pad=n_pad, sn_pad=sn_pad)
+    return w
+
+
 def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     from ..utils.jaxcache import bucket_size, enable_compilation_cache
     enable_compilation_cache()
@@ -441,6 +485,7 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     if sn_pad == sn and (sn == 0 or sx[-1] != SEPARATOR):
         sn_pad = bucket_size(sn + 1) if bucketed else sn + 1
     m = n_pad + sn_pad
+    wave = _scan_prewarm(n_pad, sn_pad, m)
     n_t = _put_i32(n)
     sn_t = _put_i32(sn)
     x_u8 = np.zeros(n_pad, np.uint8)
@@ -448,13 +493,16 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     sx_u8 = np.zeros(sn_pad, np.uint8)
     sx_u8[:sn] = sx
     x_dev = _put(x_u8)
+    wave.ready("build")
     b, sp = _build_joint_device(x_dev, _put(sx_u8),
                                 n_t, sn_t, _put_i32(0),
                                 n_pad, sn_pad)
     mark("upload+build_joint", b)
 
+    wave.ready("jsa")
     sa, isa, hist, pack8, k_star, split_lv = _joint_sa(b, sp, m)
     mark("joint_sa", sa)
+    wave.ready("irr")
     stats_dev, ai_all, bi_all, lv_all = _irreducible_slots(
         b, sp, sa, isa, split_lv, n_t, sn_t, m, n_pad)
     stats = _get(stats_dev)
@@ -464,14 +512,17 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     ell = _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all, isa,
                              stats, m, rho_pad)
     mark("lift_and_fill", ell)
+    wave.ready("nbr")
     pred_pos, succ_pos, av, bv = _neighbors(sa, ell, n_t, m)
     mark("neighbors", av)
+    wave.ready("asm")
     pos, length, smaller, ref_sa, ref_isa = _assemble(
         sa, pred_pos, succ_pos, av, bv, n_t, sn_t, m, n_pad, sn_pad)
     mark("assemble", pos)
     return dict(b=b, n=n, sn=sn, n_pad=n_pad, sn_pad=sn_pad, m=m, rho=rho,
                 n_t=n_t, sn_t=sn_t, pos=pos, length=length,
-                smaller=smaller, ref_sa=ref_sa, ref_isa=ref_isa, x_dev=x_dev)
+                smaller=smaller, ref_sa=ref_sa, ref_isa=ref_isa,
+                x_dev=x_dev, wave=wave)
 
 
 def _export_ref(core) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -487,6 +538,7 @@ def ms_dense(x_aug: np.ndarray, sx: np.ndarray,
     small-input path; production uses ms_dense_heads)."""
     core = _dense_core(x_aug, sx, bucketed)
     n, sn = core["n"], core["sn"]
+    core["wave"].ready("post")
     (pos, length, smaller, is_head, h_dev,
      char) = _postprocess(core["b"], core["pos"], core["length"],
                           core["smaller"], core["n_t"], core["sn_t"],
@@ -511,6 +563,7 @@ def ms_dense_heads(x_aug: np.ndarray, sx: np.ndarray,
     mark = _stage_timer()
     core = _dense_core(x_aug, sx, bucketed)
     n, sn = core["n"], core["sn"]
+    core["wave"].ready("post")
     (pos, length, smaller, is_head, h_dev,
      char) = _postprocess(core["b"], core["pos"], core["length"],
                           core["smaller"], core["n_t"], core["sn_t"],
@@ -592,13 +645,21 @@ def _finish_for_merge(t, pos, length, smaller, char, ref_sa, ref_isa,
 
 
 def ms_dense_heads_on_device(x_aug: np.ndarray, sx: np.ndarray,
-                             bucketed: bool = True) -> DeviceHeadsResult:
+                             bucketed: bool = True,
+                             merge_hook=None) -> DeviceHeadsResult:
     """Dense MS whose result STAYS on device for the device merge engine
-    (engine/device_merge.py): only the scalars (h, rho) reach the host."""
+    (engine/device_merge.py): only the scalars (h, rho) reach the host.
+
+    ``merge_hook(h_pad, n_pad)`` (optional) is called the moment the head
+    count is known, BEFORE the compaction dispatches — the pipeline uses
+    it to fire the merge engine's prewarm wave so those compiles overlap
+    the scan's tail (utils/prewarm)."""
+    from ..utils import prewarm
     from ..utils.jaxcache import bucket_size
     mark = _stage_timer()
     core = _dense_core(x_aug, sx, bucketed)
     n, sn = core["n"], core["sn"]
+    core["wave"].ready("post")
     (pos, length, smaller, is_head, h_dev,
      char) = _postprocess(core["b"], core["pos"], core["length"],
                           core["smaller"], core["n_t"], core["sn_t"],
@@ -606,10 +667,28 @@ def ms_dense_heads_on_device(x_aug: np.ndarray, sx: np.ndarray,
     h = int(_get(h_dev))
     mark("postprocess", pos)
     h_pad = bucket_size(h + 1)
+    if merge_hook is not None:   # side effect: caller stores the wave
+        merge_hook(h_pad, core["n_pad"])
+    ch_pad = min(h_pad, core["sn_pad"] + 1)
+    cwave = prewarm.Wave()
+    if prewarm.enabled():
+        S, i32, u8 = prewarm.sds, jnp.int32, jnp.uint8
+        sn_pad, n_pad = core["sn_pad"], core["n_pad"]
+        isn = S((sn_pad,), i32)
+        cwave.add("compact", _compact_heads_raw, isn, isn,
+                  S((sn_pad,), jnp.bool_), S((sn_pad,), jnp.bool_),
+                  S((sn_pad,), u8), sn_pad=sn_pad, h_pad=ch_pad)
+        cwave.add("finish", _finish_for_merge, S((ch_pad,), i32),
+                  S((ch_pad,), i32), S((ch_pad,), i32),
+                  S((ch_pad,), jnp.bool_), S((ch_pad,), i32),
+                  S((n_pad,), i32), S((n_pad,), i32), S((n_pad,), u8),
+                  S((), i32), S((), i32), h_pad=h_pad, n_pad=n_pad)
+    cwave.ready("compact")
     out_t, out_pos, out_len, out_sml, out_chr = _compact_heads_raw(
         pos, length, smaller, is_head, char,
-        core["sn_pad"], min(h_pad, core["sn_pad"] + 1))
+        core["sn_pad"], ch_pad)
     mark("compact_heads", out_t)
+    cwave.ready("finish")
     (t, pos_h, len_h, sml_h, chr_h, ref_sa, ref_isa,
      ref_bwt) = _finish_for_merge(
         out_t, out_pos, out_len, out_sml, out_chr,
