@@ -54,8 +54,13 @@ def _check_sn(sn: int) -> None:
 
 
 def _rev_fill_min(vals):
-    """Nearest at-or-after fill: running min from the right."""
-    return jax.lax.cummin(vals, axis=0, reverse=True)
+    """Nearest at-or-after fill: running min from the right.
+
+    flip + forward + flip, NOT ``reverse=True``: reverse-direction
+    cumulative ops lower ~8x slower to compile on this backend (32 s vs
+    4 s for int32 at 22M elements; compile time is wall-clock on the
+    remote-compile tunnel), while ``lax.rev`` is free."""
+    return jax.lax.cummin(vals[::-1])[::-1]
 
 
 # ---------------------------------------------------------------------------
@@ -111,15 +116,19 @@ def group_dev(pos, ln, smaller, to_next, isa_next, h, n, h_pad: int):
     insertion (idx) order, exactly like engine/heads.py."""
     idx = jnp.arange(h_pad, dtype=jnp.int32)
     valid = idx < h
+    LOW30 = (jnp.int64(1) << 30) - 1
+    LOW31 = (jnp.int64(1) << 31) - 1
     with jax.enable_x64(True):
-        scale = (n + 1).astype(jnp.int64)
-        pk_li = ln.astype(jnp.int64) * scale + isa_next.astype(jnp.int64)
+        # (len, isa) packed by SHIFTS, not the old scale-multiply: the
+        # shift pack is order-equivalent (isa <= n < 2^30) and unpacks
+        # with mask/shift, so len/isa no longer ride as extra sort
+        # operands (compile time scales ~linearly with sort operand count
+        # on this backend: the old 9-operand text-order sort pushed this
+        # one program to ~3.5 min of XLA compile)
+        pk_li = (ln.astype(jnp.int64) << 30) | isa_next.astype(jnp.int64)
         key1 = jnp.where(valid, pos, INT_MAX)
         pk_li = jnp.where(valid, pk_li, I64_BIG)
-        # carry len/isa through the sorts (integer division to unpack them
-        # later costs seconds on the VPU at tens of millions of lanes)
-        p_s, li_s, order, ln_s, isa_s = jax.lax.sort(
-            (key1, pk_li, idx, ln, isa_next), num_keys=2)
+        p_s, li_s, order = jax.lax.sort((key1, pk_li, idx), num_keys=2)
         new_grp = jnp.concatenate(
             [jnp.ones(1, dtype=bool),
              (p_s[1:] != p_s[:-1]) | (li_s[1:] != li_s[:-1])])
@@ -129,10 +138,16 @@ def group_dev(pos, ln, smaller, to_next, isa_next, h, n, h_pad: int):
         # x64) — pin int32 so consumers outside the x64 block don't warn
         n_classes = jnp.sum(firsts.astype(jnp.int32)).astype(jnp.int32)
         gid = jnp.cumsum(firsts.astype(jnp.int32)) - 1  # class id, sorted ord
-        # compact class firsts: (first?, sorted position, pos, len, isa, head)
+        # compact class firsts; payloads packed two-per-int64 (pos|head,
+        # len|isa). ``fi`` (each first's sorted position) equals the
+        # sorted key itself on the valid prefix — no payload slot needed
         ckey = jnp.where(firsts, idx, INT_MAX)
-        _, fi, cls_pos, cls_len, cls_isa, first_head = jax.lax.sort(
-            (ckey, idx, p_s, ln_s, isa_s, order), num_keys=1)
+        pay1 = (p_s.astype(jnp.int64) << 31) | order.astype(jnp.int64)
+        fi, pay1_s, pay2_s = jax.lax.sort((ckey, pay1, li_s), num_keys=1)
+        cls_pos = (pay1_s >> 31).astype(jnp.int32)
+        first_head = (pay1_s & LOW31).astype(jnp.int32)
+        cls_len = (pay2_s >> 30).astype(jnp.int32)
+        cls_isa = (pay2_s & LOW30).astype(jnp.int32)
     cvalid = jnp.arange(h_pad, dtype=jnp.int32) < n_classes
     fh = jnp.clip(first_head, 0, h_pad - 1)
     cls_smaller = jnp.where(cvalid, smaller[fh], False)
@@ -145,18 +160,28 @@ def group_dev(pos, ln, smaller, to_next, isa_next, h, n, h_pad: int):
     key_k = jnp.where(cls_smaller, cls_len, 2 * n - cls_len)
     key_k = jnp.where(cvalid, key_k, INT_MAX)
 
-    # text order: (pos, K, isaNext)
+    # text order: (pos, K, isaNext); K/isa ride in the shift-packed key2,
+    # (order, until) and (size, smaller) in two packed payloads
     with jax.enable_x64(True):
         pk_ki = jnp.where(cvalid,
-                          key_k.astype(jnp.int64) * (n + 1).astype(jnp.int64)
-                          + cls_isa.astype(jnp.int64), I64_BIG)
+                          (key_k.astype(jnp.int64) << 30)
+                          | cls_isa.astype(jnp.int64), I64_BIG)
         cpos_key = jnp.where(cvalid, cls_pos, INT_MAX)
         cidx = jnp.arange(h_pad, dtype=jnp.int32)
-        (tpos, tki, torder, tlen, tisa, tsml, tuntil, tsize,
-         tkk) = jax.lax.sort(
-            (cpos_key, pk_ki, cidx, cls_len, cls_isa,
-             cls_smaller.astype(jnp.int32), cls_until, cls_size, key_k),
-            num_keys=2)
+        tpay1 = (cidx.astype(jnp.int64) << 31) | cls_until.astype(jnp.int64)
+        tpay2 = (cls_size.astype(jnp.int64) << 1) \
+            | cls_smaller.astype(jnp.int64)
+        tpos, tki, tpay1_s, tpay2_s = jax.lax.sort(
+            (cpos_key, pk_ki, tpay1, tpay2), num_keys=2)
+        torder = (tpay1_s >> 31).astype(jnp.int32)
+        tuntil = (tpay1_s & LOW31).astype(jnp.int32)
+        tsize = (tpay2_s >> 1).astype(jnp.int32)
+        tsml = (tpay2_s & 1).astype(jnp.int32)
+        tkk_raw = (tki >> 30).astype(jnp.int32)
+        tisa = (tki & LOW30).astype(jnp.int32)
+    cvalid2 = jnp.arange(h_pad, dtype=jnp.int32) < n_classes
+    tkk = jnp.where(cvalid2, tkk_raw, INT_MAX)
+    tlen = jnp.where(tsml != 0, tkk_raw, 2 * n - tkk_raw)
     # rank of each (grouped-order) class in text order
     _, text_rank = jax.lax.sort((torder, cidx), num_keys=1)
     # members regrouped by text-ordered class (stable keeps idx order)
@@ -414,7 +439,8 @@ def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
         def rev_fill(payload31):
             packed = jnp.where(f_s == 1, (rows << 31)
                                | payload31.astype(jnp.int64), FILL_BIG)
-            return jax.lax.cummin(packed, axis=0, reverse=True)
+            # flip+forward (see _rev_fill_min): reverse lowering is slow
+            return jax.lax.cummin(packed[::-1])[::-1]
 
         fp = rev_fill(k1s)          # nearest target's bucket pos + row
         f_pos = (fp & LOW31).astype(jnp.int32)
@@ -696,7 +722,15 @@ def runs_emit_dev(cls, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
     bkey = jnp.where(big, ridx2, INT_MAX)
     _, big_idx, big_len, big_chr = jax.lax.sort(
         (bkey, ridx2, rl, rc), num_keys=1)
-    return (packed16, big_idx, big_len, big_chr.astype(jnp.uint8),
+    # big-run overflow list truncated to a STATIC cap in-program: a
+    # dynamic slice-to-bucket on the host side is its own jit program
+    # (cold compile round trip), while a full-L download of three arrays
+    # measured ~60 MB (+1-2 s on the host link) at the 20 Mchar config.
+    # n_big > cap falls back to the full arrays host-side (rare).
+    big_cap = min(L, max(1024, L >> 6))
+    bsl = lambda a: jax.lax.dynamic_slice(a, (0,), (big_cap,))
+    return (packed16, bsl(big_idx), bsl(big_len),
+            bsl(big_chr).astype(jnp.uint8),
             rl, rc.astype(jnp.uint8),
             jnp.stack([n_groups, maxlen, n_big]))
 
@@ -871,7 +905,9 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
     # is its own jit program (two cold round trips right at the end of the
     # pipeline); the full run list is a few MB of uint16 — cheaper than
     # the compiles it replaces even at the 100 Mchar configs
-    if n_big * 10 <= max(n_nz, 1) * 2:
+    L_full = int(p16.shape[0])
+    big_cap = min(L_full, max(1024, L_full >> 6))
+    if n_big * 10 <= max(n_nz, 1) * 2 and n_big <= big_cap:
         # 2 bytes/run; runs with len >= 256 spill to a compacted
         # (index, len, char) overflow list
         p_np = _get(p16)[:n_nz]

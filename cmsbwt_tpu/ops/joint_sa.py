@@ -97,7 +97,9 @@ def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int):
         BIGV = jnp.int64(1) << 62
         packed = jnp.where(sp64 > 0,
                            (idx.astype(jnp.int64) << 32) | sp64, BIGV)
-        nxt = jax.lax.cummin(packed, axis=0, reverse=True)
+        # flip+forward+flip: reverse=True cumulative lowering is ~8x
+        # slower to compile on this backend (device_merge._rev_fill_min)
+        nxt = jax.lax.cummin(packed[::-1])[::-1]
         d = jnp.where(nxt < BIGV, (nxt >> 32) - idx.astype(jnp.int64),
                       jnp.int64(8))  # distance to first special (clamped)
         v = jnp.where(d < 8, nxt & jnp.int64(0xFFFFFFFF), 0).astype(jnp.int32)

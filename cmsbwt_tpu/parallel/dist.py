@@ -119,13 +119,14 @@ def dcummax(vals, n_shards: int):
 
 def dcummin_rev(vals, n_shards: int):
     """Reverse running min (the rev_fill idiom of the merge engine)."""
-    c = jax.lax.cummin(vals, axis=0, reverse=True)
+    # flip+forward+flip (engine/device_merge._rev_fill_min rationale)
+    c = jax.lax.cummin(vals[::-1])[::-1]
     suf = _shard_suffix(c[0], n_shards, "min", _dtype_max(vals.dtype))
     return jnp.minimum(c, suf)
 
 
 def dcummax_rev(vals, n_shards: int):
-    c = jax.lax.cummax(vals, axis=0, reverse=True)
+    c = jax.lax.cummax(vals[::-1])[::-1]
     suf = _shard_suffix(c[0], n_shards, "max", _dtype_min(vals.dtype))
     return jnp.maximum(c, suf)
 

@@ -30,6 +30,12 @@ import threading
 
 _MAX_WAIT_S = float(os.environ.get("CMSBWT_PREWARM_WAIT_S", "900"))
 
+# (fn, avals, statics) combinations already prewarmed this process: repeat
+# runs must not re-fire background compiles — even cache-hit lowering
+# costs CPU and tunnel round trips DURING the measured steady state
+_seen: set = set()
+_seen_lock = threading.Lock()
+
 _enabled_cache: bool | None = None
 
 
@@ -73,6 +79,11 @@ class Wave:
         r04 cold run compiled tail_good twice at ~100 s each this way)."""
         if not enabled():
             return
+        key = (id(fn), repr(avals), tuple(sorted(statics.items())), x64)
+        with _seen_lock:
+            if key in _seen:
+                return
+            _seen.add(key)
         ev = threading.Event()
         self._done[name] = ev
 
