@@ -166,7 +166,9 @@ def run_one_config(name: str, spec: dict, platform: str,
     tmp = pathlib.Path(tempfile.mkdtemp(prefix=f"cmsbench_{name}_"))
     lst = make_workload(tmp, spec["ref_mbp"], spec["docs"], spec["snp"])
 
-    backend = backend_override or ("dense" if platform == "tpu" else "jump")
+    # "auto" measures the real dispatcher (divergence probe + regime
+    # routing); BENCH_BACKEND still forces a specific engine
+    backend = backend_override or "auto"
     block_chars = int(block_override) if block_override else None
     coll_bytes = os.path.getsize(tmp / "coll.fa")
     if block_chars is None and coll_bytes > 160_000_000:
@@ -194,6 +196,7 @@ def run_one_config(name: str, spec: dict, platform: str,
         print(f"# [{name}] phases: "
               + out["timer"].report().replace("\n", " | "), file=sys.stderr)
     sn = out["result"].sn
+    backend = out.get("backend") or backend   # resolved engine
     ours_tput = sn / 1e6 / ours_s
 
     ref_best, ref_worst = run_reference(tmp, lst, spec["ref_reps"],

@@ -62,5 +62,31 @@ class Config:
     replicate_reference_rle_quirk: bool = True  # reproduce ref RLE residual quirk
                                     # (see merge.py; ref :1069-1078 vs :986-994)
 
+    # --- reference-index cache + auto-dispatch probe ---
+    # The reference index depends only on the reference file, so it is
+    # cached on disk by default (bwa/bowtie-style one-time indexing; the
+    # reference binary rebuilds its index every run).  "" disables.
+    index_cache_dir: Optional[str] = None   # None -> CMSBWT_INDEX_CACHE or
+                                            # ~/.cache/cmsbwt_tpu/ref_index
+    # k-mer absence probe steering backend="auto" (engine/probe.py): below
+    # the threshold the collection is low-divergence and routes to the
+    # native PLCP-skip scan engine; above it the dense device pipeline wins
+    probe_threshold: float = 0.15   # absent-fraction cutoff (~0.5% SNP)
+    probe_kmer: int = 24
+    probe_ref_cap: int = 8 << 20    # skip the probe above this ref size
+    probe_samples: int = 1 << 16
+
     def resolved_outname(self) -> str:
         return self.outname if self.outname else self.filename
+
+    def resolved_index_cache_dir(self) -> Optional[str]:
+        """Index-cache directory or None when disabled."""
+        import os
+        if self.index_cache_dir == "":
+            return None
+        if self.index_cache_dir:
+            return self.index_cache_dir
+        env = os.environ.get("CMSBWT_INDEX_CACHE")
+        if env == "":
+            return None
+        return env or os.path.expanduser("~/.cache/cmsbwt_tpu/ref_index")

@@ -118,20 +118,31 @@ def compute_bwt(cfg: Config) -> dict:
             "through the sharded int64 index (docs/giant_references.md).")
     sn_limit = fasta.collection_sn_limit(coll_path, cfg.prefix_length)
     coll_chars = min(os.path.getsize(coll_path), cfg.prefix_length)
+    # parse BEFORE backend resolution: the auto-dispatch divergence probe
+    # (engine/probe.py) samples parsed collection k-mers
+    with timer.phase("parse_collection"):
+        coll = fasta.parse_collection(coll_path, sn_limit)
+        fasta.validate_collection(coll)
     backend = ("host" if giant else
-               _resolve_backend(cfg.backend, coll_chars))
+               _resolve_backend(cfg.backend, coll_chars, x_aug=x_aug,
+                                sx=coll.sx, cfg=cfg,
+                                ref_path=ref_path, coll_path=coll_path))
     dindex = None
     index = None
     with timer.phase("build_index"):
-        # reference-index checkpoint (SURVEY §5 failure-recovery row): the
-        # index depends only on the reference file, so it is reusable
-        # across runs and crash restarts (the dense path has its own
-        # dense_heads checkpoint; the device backend keeps arrays on-chip)
+        # reference-index cache (SURVEY §5 failure-recovery row + bwa-style
+        # one-time indexing): the index depends only on the reference file,
+        # so it is cached on disk by default (cfg.index_cache_dir; the
+        # explicit checkpoint_dir takes precedence) and reused across runs
+        # and crash restarts. The dense path has its own dense_heads
+        # checkpoint; the device backend keeps arrays on-chip.
         idx_ckpt = idx_fp = None
-        if cfg.checkpoint_dir and (giant or backend not in
-                                   ("dense", "jump", "pallas", "device")):
+        cache_root = cfg.checkpoint_dir or cfg.resolved_index_cache_dir()
+        host_index_wanted = giant or backend not in (
+            "dense", "jump", "pallas", "device")
+        if cache_root and host_index_wanted:
             from ..utils.checkpoint import CheckpointManager, file_stamp
-            idx_ckpt = CheckpointManager(cfg.checkpoint_dir)
+            idx_ckpt = CheckpointManager(cache_root)
             idx_fp = idx_ckpt.fingerprint(ref=file_stamp(ref_path),
                                           giant=giant, phase="ref_index")
             cached_idx = idx_ckpt.load("ref_index", idx_fp)
@@ -146,15 +157,14 @@ def compute_bwt(cfg: Config) -> dict:
                                         build_reference_index_device)
             dindex = build_device_index(x_aug)
             index = _export_device_index(dindex, x_aug)
+        elif index is None and backend == "native":
+            index = _build_host_index_fast(x_aug)
         elif index is None and backend not in ("dense", "jump", "pallas"):
             index = build_reference_index(x_aug)
         if idx_ckpt is not None and index is not None and cached_idx is None:
             idx_ckpt.save("ref_index", idx_fp, {
                 "sa": index.sa, "isa": index.isa, "lcp": index.lcp,
                 "plcp": index.plcp, "bwt": index.bwt})
-    with timer.phase("parse_collection"):
-        coll = fasta.parse_collection(coll_path, sn_limit)
-        fasta.validate_collection(coll)
 
     if coll.sn == 0:
         # empty collection -> empty BWT (the reference emits nothing)
@@ -163,7 +173,8 @@ def compute_bwt(cfg: Config) -> dict:
         result = PipelineResult(run_len=np.zeros(0, np.int64),
                                 run_char=np.zeros(0, np.uint8),
                                 d=coll.d, sn=0, h=0)
-        return _write_outputs(cfg, outname, index, result, timer)
+        return _write_outputs(cfg, outname, index, result, timer,
+                               backend=backend)
 
     # collections at/above the int32 bound (the reference's sn is uint64 —
     # unbounded, ref CMS-BWT.h:26,46): the unblocked device scans and the
@@ -187,6 +198,35 @@ def compute_bwt(cfg: Config) -> dict:
             backend = "dense"   # blocked int64 route, forced below
 
     ms = None
+    if backend == "native":
+        # native OpenMP PLCP-skip scan (native/cmsbwt_scan.cpp): the
+        # low-divergence fast path — per-phrase sequential work streams at
+        # C++ speed, documents scan in parallel threads, and the int64-
+        # safe host merge finishes (so sn >= 2^31 collections are fine)
+        rq = cfg.rle and cfg.replicate_reference_rle_quirk
+        from ..io import native as native_io
+        heads = None
+        with timer.phase("ms_scan"):
+            res = native_io.ms_scan_native(
+                index.x_padded, index.sa, index.isa, index.lcp,
+                index.plcp, index.n, coll.sx, coll.sep_positions)
+            if res is not None:
+                t, pos, ln, sml = res
+                z = lambda: np.zeros(len(t), np.int64)
+                char = coll.sx[(t - 1) % max(coll.sn, 1)]
+                heads = heads_mod.HeadArrays(
+                    t=t, pos=pos, length=ln, smaller=sml, char=char,
+                    to_next=z(), isa_next=z(), succ=z(), h=len(t))
+            else:
+                # no toolchain: the host spec scan computes the same heads
+                ms_arrays = ms_scan_collection(index, coll.sx,
+                                               coll.sep_positions)
+                heads = heads_mod.extract_heads(index, ms_arrays, coll.sx)
+        result = merge_from_heads(index, heads, coll.d, coll.sn,
+                                  rle_quirk=rq, timer=timer,
+                                  buffer_bytes=cfg.buffer_gib << 30)
+        return _write_outputs(cfg, outname, index, result, timer,
+                               backend=backend)
     if backend in ("jump", "pallas"):
         # head-jumping scan (ops/ms_jump): per-PHRASE device work — the
         # low-divergence fast path. Scan result and reference index stay
@@ -238,7 +278,8 @@ def compute_bwt(cfg: Config) -> dict:
                 x_padded=np.concatenate([x_aug, np.zeros(1, np.uint8)]),
                 n=len(x_aug), sa=None, isa=None, lcp=None, plcp=None,
                 bwt=None, rank_history=[])
-            return _write_outputs(cfg, outname, index, result, timer)
+            return _write_outputs(cfg, outname, index, result, timer,
+                               backend=backend)
         if route_host:
             # SARS-like shape: download the compacted heads and finish on
             # the native OpenMP engine (see _resolve_merge_backend)
@@ -247,7 +288,8 @@ def compute_bwt(cfg: Config) -> dict:
             result = merge_from_heads(index, heads, coll.d, coll.sn,
                                       rle_quirk=rq, timer=timer,
                                       buffer_bytes=cfg.buffer_gib << 30)
-            return _write_outputs(cfg, outname, index, result, timer)
+            return _write_outputs(cfg, outname, index, result, timer,
+                               backend=backend)
         with timer.phase("merge_device"):
             run_len, run_char, counter = merge_heads_device_resident(
                 jres, coll.d, rq,
@@ -260,7 +302,8 @@ def compute_bwt(cfg: Config) -> dict:
         result = PipelineResult(
             run_len=run_len, run_char=run_char, d=coll.d, sn=coll.sn,
             h=jres.h, counter=counter)
-        return _write_outputs(cfg, outname, index, result, timer)
+        return _write_outputs(cfg, outname, index, result, timer,
+                               backend=backend)
     if backend == "device" and coll.sn > 0:
         from ..ops.ms_device import ms_scan_device
         with timer.phase("ms_scan"):
@@ -328,7 +371,8 @@ def compute_bwt(cfg: Config) -> dict:
             result = PipelineResult(
                 run_len=run_len, run_char=run_char, d=coll.d, sn=coll.sn,
                 h=ddres.h, counter=counter)
-            return _write_outputs(cfg, outname, index, result, timer)
+            return _write_outputs(cfg, outname, index, result, timer,
+                               backend=backend)
         with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
             if cached is not None:
                 cached = {k: v for k, v in cached.items()}
@@ -384,12 +428,14 @@ def compute_bwt(cfg: Config) -> dict:
             result = merge_from_heads(index, heads, coll.d, coll.sn,
                                       rle_quirk=rq, timer=timer,
                                       buffer_bytes=cfg.buffer_gib << 30)
-        return _write_outputs(cfg, outname, index, result, timer)
+        return _write_outputs(cfg, outname, index, result, timer,
+                               backend=backend)
 
     rle_quirk = cfg.rle and cfg.replicate_reference_rle_quirk
     result = compute_bwt_arrays(index, coll, rle_quirk, ms=ms, timer=timer,
                                 buffer_bytes=cfg.buffer_gib << 30)
-    return _write_outputs(cfg, outname, index, result, timer)
+    return _write_outputs(cfg, outname, index, result, timer,
+                               backend=backend)
 
 
 def merge_from_heads_sharded(x_aug: np.ndarray, dres, d: int, sn: int,
@@ -471,7 +517,8 @@ def dense_result_to_inputs(x_aug: np.ndarray, dres):
 
 
 def _write_outputs(cfg: Config, outname: str, index: ReferenceIndex,
-                   result: PipelineResult, timer: PhaseTimer) -> dict:
+                   result: PipelineResult, timer: PhaseTimer,
+                   backend: str | None = None) -> dict:
     # small-path debug artifact parity (ref :919-924, written unconditionally
     # by the small-reference variant)
     if index.n < cfg.small_ref_threshold and result.counter is not None:
@@ -504,7 +551,7 @@ def _write_outputs(cfg: Config, outname: str, index: ReferenceIndex,
         f.write(timer.report())
         f.write(f"\nsn: {result.sn}\nheads: {result.h}\nD: {result.d}\n")
     return {"out_path": out_path, "bytes": nbytes, "timer": timer,
-            "result": result}
+            "result": result, "backend": backend}
 
 
 # Below this many collection chars, the host scan beats the dense device
@@ -574,12 +621,54 @@ def _resolve_merge_backend(merge_backend: str, n: int | None = None,
 AUTO_CPU_JUMP_LANES = 1024
 
 
-def _resolve_backend(backend: str, coll_chars: int | None = None) -> str:
-    """auto -> dense on an accelerator for large inputs; on CPU-only
-    processes large collections take the jump scan (head-jumping XLA scan,
-    the best measured CPU path — the numpy host engine is the per-factor
-    spec oracle and is ~10x slower at tens of Mchars), small ones the host
-    scan (jit/dispatch costs dominate below the crossover).
+def _probe_cached(cfg, x_aug, sx, ref_path, coll_path):
+    """kmer_absent_fraction with a tiny disk cache keyed by the input file
+    stamps: the probe costs ~50-80 ms at Mbp scale and its answer is a
+    pure function of the inputs, so repeat runs skip it entirely."""
+    from .probe import kmer_absent_fraction
+    mgr = fp = None
+    cache_root = cfg.resolved_index_cache_dir()
+    if cache_root and ref_path and coll_path:
+        try:
+            from ..utils.checkpoint import CheckpointManager, file_stamp
+            mgr = CheckpointManager(cache_root)
+            fp = mgr.fingerprint(ref=file_stamp(ref_path),
+                                 coll=file_stamp(coll_path),
+                                 prefix=cfg.prefix_length,
+                                 k=cfg.probe_kmer, phase="probe")
+            cached = mgr.load("probe", fp)
+            if cached is not None:
+                v = float(cached["frac"])
+                return None if v < 0 else v
+        except Exception:
+            mgr = None
+    frac = kmer_absent_fraction(x_aug, sx, k=cfg.probe_kmer,
+                                samples=cfg.probe_samples,
+                                ref_cap=cfg.probe_ref_cap)
+    if mgr is not None:
+        try:
+            mgr.save("probe", fp,
+                     {"frac": np.float64(-1.0 if frac is None else frac)})
+        except Exception:
+            pass
+    return frac
+
+
+def _resolve_backend(backend: str, coll_chars: int | None = None,
+                     x_aug=None, sx=None, cfg=None,
+                     ref_path=None, coll_path=None) -> str:
+    """auto dispatch (VERDICT r03 item 3 divergence probe included):
+
+    * accelerator + LOW divergence (k-mer absence below
+      cfg.probe_threshold, engine/probe.py) -> the native PLCP-skip scan
+      engine: this regime is sequential-latency-bound and a single
+      OpenMP-threaded core beats any lane-parallel device formulation
+      (measured: device jump needs ~15 ms per lane wave vs the
+      reference's 25 Mchars/s at 0.1% SNP);
+    * accelerator otherwise -> dense (joint sort, divergence-insensitive);
+    * CPU-only -> native when the toolchain built the scan engine, else
+      the jump XLA scan; tiny inputs -> native/host (dispatch overheads
+      dominate any device path below the crossover).
 
     The pallas scan is never auto-selected: the 2026-08-19 hardware probes
     showed this toolchain's Mosaic caps ``tpu.dynamic_gather`` at a
@@ -591,15 +680,41 @@ def _resolve_backend(backend: str, coll_chars: int | None = None) -> str:
     dense with a logged notice."""
     if backend != "auto":
         return backend
+
+    def _native_ok() -> bool:
+        from ..io.native import get_scan_lib
+        return get_scan_lib() is not None
+
     if coll_chars is not None and coll_chars < AUTO_DENSE_MIN_CHARS:
-        return "host"
+        return "native" if _native_ok() else "host"
     try:
         import jax
-        if any(d.platform != "cpu" for d in jax.devices()):
-            return "dense"
+        accel = any(d.platform != "cpu" for d in jax.devices())
     except Exception:
-        return "host"
-    return "jump"
+        return "native" if _native_ok() else "host"
+    if accel:
+        if (x_aug is not None and sx is not None and cfg is not None
+                and _native_ok()):
+            frac = _probe_cached(cfg, x_aug, sx, ref_path, coll_path)
+            if frac is not None and frac < cfg.probe_threshold:
+                return "native"
+        return "dense"
+    return "native" if _native_ok() else "jump"
+
+
+def _build_host_index_fast(x_aug: np.ndarray) -> ReferenceIndex:
+    """Host ReferenceIndex for the native scan engine: built on the
+    accelerator (device doubling + one download) when present — the numpy
+    doubling build is ~10x slower at Mbp scale — else on the host. Cached
+    on disk by the caller (cfg.index_cache_dir), so steady-state runs skip
+    the build entirely."""
+    if _on_accelerator():
+        try:
+            from ..index.device import build_device_index
+            return _export_device_index(build_device_index(x_aug), x_aug)
+        except Exception:
+            pass
+    return build_reference_index(x_aug)
 
 
 def _index_from_arrays(x_aug: np.ndarray, arrays: dict) -> ReferenceIndex:

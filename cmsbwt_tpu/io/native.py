@@ -287,3 +287,91 @@ def fill_class_ranks_native(member_off, member_head, rank_value, pseudo_cls,
                              ctypes.c_int64(int(pseudo_cls)),
                              p64(rank_to_head))
     return True
+
+
+# ---------------------------------------------------------------------------
+# Native MS scan engine (native/cmsbwt_scan.cpp) — separate library so the
+# IO runtime stays loadable without it
+# ---------------------------------------------------------------------------
+
+_SCAN_LOCK = threading.Lock()
+_SCAN_LIB = None
+_SCAN_TRIED = False
+_SCAN_SRC = pathlib.Path(__file__).resolve().parents[2] / "native" / \
+    "cmsbwt_scan.cpp"
+
+
+def get_scan_lib():
+    """Load (building on demand) the native scan engine, or None."""
+    global _SCAN_LIB, _SCAN_TRIED
+    with _SCAN_LOCK:
+        if _SCAN_LIB is not None or _SCAN_TRIED:
+            return _SCAN_LIB
+        _SCAN_TRIED = True
+        if not _SCAN_SRC.exists():
+            return None
+        so = _build_dir() / "libcmsbwt_scan.so"
+        try:
+            if (not so.exists() or
+                    so.stat().st_mtime < _SCAN_SRC.stat().st_mtime):
+                tmp_so = so.with_name(f".libcmsbwt_scan.{os.getpid()}.so")
+                r = subprocess.run(
+                    ["g++", "-O3", "-shared", "-fPIC", "-fopenmp",
+                     str(_SCAN_SRC), "-o", str(tmp_so)],
+                    capture_output=True)
+                if r.returncode != 0:
+                    tmp_so.unlink(missing_ok=True)
+                    return None
+                os.replace(tmp_so, so)
+            lib = ctypes.CDLL(str(so))
+            U8P = ctypes.POINTER(ctypes.c_uint8)
+            I32P = ctypes.POINTER(ctypes.c_int32)
+            I64P = ctypes.POINTER(ctypes.c_int64)
+            lib.cms_ms_scan.restype = ctypes.c_int64
+            lib.cms_ms_scan.argtypes = [
+                U8P, I32P, I32P, I32P, I32P, ctypes.c_int32,
+                U8P, ctypes.c_int64, I64P, ctypes.c_int32,
+                ctypes.c_int64, I64P, I64P, I64P, U8P, ctypes.c_int32]
+            _SCAN_LIB = lib
+        except Exception:
+            _SCAN_LIB = None
+        return _SCAN_LIB
+
+
+def ms_scan_native(x_padded, sa, isa, lcp, plcp, n, sx, sep_positions,
+                   nthreads: int = 0):
+    """Native head-emitting MS scan; returns (t, pos, len, smaller) int64/
+    bool arrays or None if the engine is unavailable."""
+    lib = get_scan_lib()
+    if lib is None:
+        return None
+    xp = np.ascontiguousarray(x_padded, dtype=np.uint8)
+    sa_ = np.ascontiguousarray(sa, dtype=np.int32)
+    isa_ = np.ascontiguousarray(isa, dtype=np.int32)
+    lcp_ = np.ascontiguousarray(lcp, dtype=np.int32)
+    plcp_ = np.ascontiguousarray(plcp, dtype=np.int32)
+    sx_ = np.ascontiguousarray(sx, dtype=np.uint8)
+    ends = np.ascontiguousarray(sep_positions, dtype=np.int64)
+    sn = len(sx_)
+    cap = max(1024, sn // 8)
+    U8P = ctypes.POINTER(ctypes.c_uint8)
+    I32P = ctypes.POINTER(ctypes.c_int32)
+    I64P = ctypes.POINTER(ctypes.c_int64)
+    while True:
+        t = np.empty(cap, np.int64)
+        pos = np.empty(cap, np.int64)
+        ln = np.empty(cap, np.int64)
+        sml = np.empty(cap, np.uint8)
+        r = lib.cms_ms_scan(
+            xp.ctypes.data_as(U8P), sa_.ctypes.data_as(I32P),
+            isa_.ctypes.data_as(I32P), lcp_.ctypes.data_as(I32P),
+            plcp_.ctypes.data_as(I32P), ctypes.c_int32(n),
+            sx_.ctypes.data_as(U8P), ctypes.c_int64(sn),
+            ends.ctypes.data_as(I64P), ctypes.c_int32(len(ends)),
+            ctypes.c_int64(cap), t.ctypes.data_as(I64P),
+            pos.ctypes.data_as(I64P), ln.ctypes.data_as(I64P),
+            sml.ctypes.data_as(U8P), ctypes.c_int32(nthreads))
+        if r >= 0:
+            h = int(r)
+            return t[:h], pos[:h], ln[:h], sml[:h] != 0
+        cap = int(-r) + 16
