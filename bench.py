@@ -150,6 +150,13 @@ CONFIGS = {
                         timeout_s=600),
     "ecoli_rle": dict(ref_mbp=5.0, docs=20, snp=0.01, rle=True,
                       prefix=None, ours_reps=1, ref_reps=2, timeout_s=900),
+    # sharded-merge perf identity (VERDICT r03 item 7): the primary shape
+    # with the mesh sample-sort merge forced, so its single-host overhead
+    # vs the device merge is on record
+    "primary_shmerge": dict(ref_mbp=2.0, docs=10, snp=0.01, rle=False,
+                            prefix=None, ours_reps=1, ref_reps=1,
+                            timeout_s=420, backend="dense",
+                            merge_backend="sharded"),
 }
 FULL_OVERRIDES = {
     "sars_stream": dict(docs=3000, prefix=80_000_000, timeout_s=1800),
@@ -167,8 +174,8 @@ def run_one_config(name: str, spec: dict, platform: str,
     lst = make_workload(tmp, spec["ref_mbp"], spec["docs"], spec["snp"])
 
     # "auto" measures the real dispatcher (divergence probe + regime
-    # routing); BENCH_BACKEND still forces a specific engine
-    backend = backend_override or "auto"
+    # routing); BENCH_BACKEND or a per-config "backend" forces an engine
+    backend = backend_override or spec.get("backend") or "auto"
     block_chars = int(block_override) if block_override else None
     coll_bytes = os.path.getsize(tmp / "coll.fa")
     if block_chars is None and coll_bytes > 160_000_000:
@@ -178,7 +185,8 @@ def run_one_config(name: str, spec: dict, platform: str,
 
     kwargs = dict(filename=str(lst), outname=str(tmp / "ours"),
                   backend=backend, rle=spec["rle"],
-                  dense_block_chars=block_chars)
+                  dense_block_chars=block_chars,
+                  merge_backend=spec.get("merge_backend", "auto"))
     if spec["prefix"]:
         kwargs["prefix_length"] = spec["prefix"]
     cfg = Config(**kwargs)
@@ -212,6 +220,7 @@ def run_one_config(name: str, spec: dict, platform: str,
         "config": name, "ref_mbp": spec["ref_mbp"], "docs": spec["docs"],
         "snp": spec["snp"], "rle": spec["rle"], "prefix": spec["prefix"],
         "sn": int(sn), "backend": backend,
+        "merge_backend": spec.get("merge_backend", "auto"),
         "ours_s": round(ours_s, 3), "tput_mchars_s": round(ours_tput, 3),
         "ref_s_best": round(ref_best, 3), "ref_s_worst": round(ref_worst, 3),
         "vs_baseline": round(vs, 4), "byte_equal": equal,

@@ -329,6 +329,20 @@ def compute_bwt(cfg: Config) -> dict:
             ndev = max(1, len(jax.local_devices()))
             block_chars = max(min(-(-coll.sn // ndev),
                                   cfg.chunk_cap_bytes // 8), 1 << 16)
+        if block_chars is None:
+            # HBM guard: the joint sort peaks at ~260 bytes/char (the
+            # ~23-level rank history is ~92 of them, plus the doubling
+            # scan's carry and multi-operand sort temporaries) — above
+            # the chip's budget the scan must stream in blocks or the run
+            # dies with RESOURCE_EXHAUSTED (observed at the 100 Mchar
+            # ecoli config on a 16 GB v5e)
+            from ..utils.jaxcache import bucket_size as _bs
+            budget = float(os.environ.get("CMSBWT_HBM_GB", "13.5")) * 2**30
+            m_est = _bs(len(x_aug)) + _bs(coll.sn + 1)
+            if 260 * m_est > budget:
+                block_chars = max(
+                    8 << 20,
+                    int((budget / 260 - _bs(len(x_aug))) * 0.6))
         if sn_big:
             # int64-safe route: per-block scans stay under the int32 bound
             # while global head_t is assembled int64 on the host

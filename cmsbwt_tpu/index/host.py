@@ -9,8 +9,10 @@ algorithms whose structure is shared with the device (JAX) implementation in
 * LCP: binary-lifting comparison over the rank history produced by doubling
   (fully parallel, no Kasai sequential dependency)
 * PLCP skip bound: ``max(LCP[ISA[i]], LCP[ISA[i]+1])`` (ref :272-274)
-* PSV/NSV: queried from a block sparse-table (see ``nsv_psv.py``); the host
-  fallback here is a simple vector scan used by tests.
+* PSV/NSV: device queries use the sparse tables of ``index/device.py`` and
+  the native engine a three-level block-minima structure
+  (``native/cmsbwt_scan.cpp``); the methods here are simple vector scans
+  serving as the test oracle.
 """
 from __future__ import annotations
 

@@ -837,6 +837,20 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
     ckpt = _block_ckpt(checkpoint_dir, fingerprint, block_chars)
     progress = _block_progress(sn)
     x_dev = None
+    # prewarm the per-block programs for the canonical block bucket (the
+    # same wave the unblocked core fires; _postprocess_block replaces
+    # _postprocess here). Adaptive-context retries recompile, but every
+    # regular block shares these shapes.
+    bs_pad0 = bucket_size(block_chars + (ctx_chars or 0))
+    wave = _scan_prewarm(n_pad, bs_pad0, n_pad + bs_pad0)
+    from ..utils import prewarm as _prewarm
+    if _prewarm.enabled():
+        _S, _i32 = _prewarm.sds, jnp.int32
+        wave.add("post_block", _postprocess_block,
+                 _S((n_pad + bs_pad0,), jnp.uint8), _S((bs_pad0,), _i32),
+                 _S((bs_pad0,), _i32), _S((bs_pad0,), jnp.bool_),
+                 _S((), _i32), _S((), _i32), _S((), _i32), _S((), _i32),
+                 n_pad=n_pad, sn_pad=bs_pad0)
 
     head_parts: list[dict] = []
     ref_sa = ref_isa = None
@@ -875,12 +889,15 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             sx_u8 = np.zeros(bs_pad, np.uint8)
             sx_u8[: len(sx_blk)] = sx_blk
             sep_base = int(sep_cum[b0 - 1]) if b0 > 0 else 0
+            wave.ready("build")
             b, sp = _build_joint_device(
                 x_dev, jnp.asarray(sx_u8), jnp.int32(n),
                 jnp.int32(len(sx_blk)),
                 jnp.int32(sep_base), n_pad, bs_pad)
             n_t = jnp.int32(n)
+            wave.ready("jsa")
             sa, isa, hist, pack8, k_star, split_lv = _joint_sa(b, sp, m)
+            wave.ready("irr")
             stats_dev, ai_all, bi_all, lv_all = _irreducible_slots(
                 b, sp, sa, isa, split_lv, jnp.int32(n),
                 jnp.int32(len(sx_blk)), m, n_pad)
@@ -889,13 +906,16 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             rho_pad = min(_pow2_pad(rho), m)
             ell = _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all,
                                      isa, stats, m, rho_pad)
+            wave.ready("nbr")
             pred_pos, succ_pos, av, bv = _neighbors(sa, ell, n_t, m)
+            wave.ready("asm")
             pos, length, smaller, rsa, risa = _assemble(
                 sa, pred_pos, succ_pos, av, bv, n_t,
                 jnp.int32(len(sx_blk)), m, n_pad, bs_pad)
             # cyclic rule: the stream's first head char is the final char
             # of the collection — always the trailing separator (byte 2)
             pb0 = jnp.int32(SEPARATOR if prev_b0 is None else prev_b0)
+            wave.ready("post_block")
             (pos, length, smaller, is_head, char,
              scalars) = _postprocess_block(
                 b, pos, length, smaller, n_t, jnp.int32(emit_len),

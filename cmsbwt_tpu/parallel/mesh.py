@@ -6,7 +6,7 @@ Layout and collectives:
 
 * mesh axis ``data``: one collection block per device; the augmented
   reference is replicated (the small-reference regime — the large regime
-  shards the index, see parallel/bigref.py);
+  shards the index, see parallel/sharded_index.py);
 * ``ppermute`` shifts each block's final match position to the next device:
   the successor block's first-position head flag depends on it (the
   ``pos != prevPos + 1`` rule, ref CMS-BWT-functions.cpp:360) — the

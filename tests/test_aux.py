@@ -72,13 +72,18 @@ def test_phase_timer():
 
 
 def test_auto_backend_resolution():
-    # explicit choices pass through untouched; auto picks host for small
-    # collections; large + CPU-only -> jump (the fastest measured CPU
-    # path; the numpy host engine stays the small-input/oracle path)
+    # explicit choices pass through untouched; auto prefers the native
+    # PLCP-skip engine whenever the toolchain built it (small inputs and
+    # every CPU-only size), falling back to host/jump without it
     from cmsbwt_tpu.engine.pipeline import (AUTO_DENSE_MIN_CHARS,
                                             _resolve_backend)
+    from cmsbwt_tpu.io.native import get_scan_lib
+    native = get_scan_lib() is not None
     assert _resolve_backend("dense", 10) == "dense"
     assert _resolve_backend("host", 10**9) == "host"
-    assert _resolve_backend("auto", AUTO_DENSE_MIN_CHARS - 1) == "host"
-    assert _resolve_backend("auto", 10**9) == "jump"
-    assert _resolve_backend("auto", None) == "jump"
+    assert _resolve_backend("auto", AUTO_DENSE_MIN_CHARS - 1) == \
+        ("native" if native else "host")
+    assert _resolve_backend("auto", 10**9) == \
+        ("native" if native else "jump")
+    assert _resolve_backend("auto", None) == \
+        ("native" if native else "jump")

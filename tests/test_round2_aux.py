@@ -123,17 +123,24 @@ def test_prefix_zero_no_truncation(tmp_path):
 
 
 def test_auto_backend_cpu_large_is_jump(tmp_path, monkeypatch):
-    """auto on a CPU-only process: large collections take the jump scan
-    (the numpy host engine stays the small-input/oracle path)."""
+    """auto on a CPU-only process prefers the native scan engine; without
+    the toolchain, large collections take the jump scan (the numpy host
+    engine stays the small-input/oracle path). The e2e below forces the
+    jump route explicitly."""
     from cmsbwt_tpu.engine import pipeline
-    assert pipeline._resolve_backend("auto", 10_000) == "host"
+    from cmsbwt_tpu.io.native import get_scan_lib
+    native = get_scan_lib() is not None
+    assert pipeline._resolve_backend("auto", 10_000) == \
+        ("native" if native else "host")
     assert pipeline._resolve_backend(
-        "auto", pipeline.AUTO_DENSE_MIN_CHARS + 1) == "jump"
+        "auto", pipeline.AUTO_DENSE_MIN_CHARS + 1) == \
+        ("native" if native else "jump")
     # e2e through the auto->jump route (threshold lowered to toy scale),
     # exercising the CPU lane clamp; byte-equal vs the host engine
     monkeypatch.setattr(pipeline, "AUTO_DENSE_MIN_CHARS", 1)
     lst, *_ = _workload(tmp_path, seed=21)
-    cfg = Config(filename=str(lst), outname=str(tmp_path / "aj"))
+    cfg = Config(filename=str(lst), outname=str(tmp_path / "aj"),
+                 backend="jump")
     compute_bwt(cfg)
     cfg2 = Config(filename=str(lst), outname=str(tmp_path / "ah"),
                   backend="host")
