@@ -14,6 +14,18 @@ def enable_compilation_cache(path: str | None = None) -> None:
     if _DONE:
         return
     import jax
+    try:
+        # CPU-only processes skip the persistent cache: CPU compiles are
+        # milliseconds, and sharing the dir with concurrent accelerator
+        # processes segfaulted the test suite inside jax's cache read
+        # (compilation_cache.get_executable_and_time) — observed twice on
+        # full-suite runs overlapping TPU benches.
+        if (not os.environ.get("CMSBWT_FORCE_CACHE")
+                and all(d.platform == "cpu" for d in jax.devices())):
+            _DONE = True
+            return
+    except Exception:
+        pass
     cache_dir = path or os.environ.get(
         "CMSBWT_JAX_CACHE", os.path.expanduser("~/.cache/cmsbwt_tpu_xla"))
     os.makedirs(cache_dir, exist_ok=True)
