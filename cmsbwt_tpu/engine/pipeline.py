@@ -123,10 +123,18 @@ def compute_bwt(cfg: Config) -> dict:
     with timer.phase("parse_collection"):
         coll = fasta.parse_collection(coll_path, sn_limit)
         fasta.validate_collection(coll)
-    backend = ("host" if giant else
-               _resolve_backend(cfg.backend, coll_chars, x_aug=x_aug,
-                                sx=coll.sx, cfg=cfg,
-                                ref_path=ref_path, coll_path=coll_path))
+    if giant:
+        # giant references: the sharded int64 mesh index feeds the native
+        # int64 scan engine (cms_ms_scan_i64) — the production engine
+        # behind the >2^31 route; the numpy spec scan remains only as the
+        # no-toolchain fallback inside the native branch
+        from ..io.native import get_scan_lib
+        backend = "native" if (get_scan_lib() is not None
+                               and cfg.backend != "host") else "host"
+    else:
+        backend = _resolve_backend(cfg.backend, coll_chars, x_aug=x_aug,
+                                   sx=coll.sx, cfg=cfg,
+                                   ref_path=ref_path, coll_path=coll_path)
     dindex = None
     index = None
     with timer.phase("build_index"):

@@ -332,6 +332,11 @@ def get_scan_lib():
                 U8P, I32P, I32P, I32P, I32P, ctypes.c_int32,
                 U8P, ctypes.c_int64, I64P, ctypes.c_int32,
                 ctypes.c_int64, I64P, I64P, I64P, U8P, ctypes.c_int32]
+            lib.cms_ms_scan_i64.restype = ctypes.c_int64
+            lib.cms_ms_scan_i64.argtypes = [
+                U8P, I64P, I64P, I64P, I64P, ctypes.c_int64,
+                U8P, ctypes.c_int64, I64P, ctypes.c_int32,
+                ctypes.c_int64, I64P, I64P, I64P, U8P, ctypes.c_int32]
             _SCAN_LIB = lib
         except Exception:
             _SCAN_LIB = None
@@ -345,11 +350,17 @@ def ms_scan_native(x_padded, sa, isa, lcp, plcp, n, sx, sep_positions,
     lib = get_scan_lib()
     if lib is None:
         return None
+    # int64-indexed variant for giant references (n >= 2^31: the sharded
+    # mesh index is int64; the reference tool's int32 libsais cap is the
+    # bound being lifted)
+    wide = any(np.asarray(a).dtype == np.int64 for a in (sa, isa)) \
+        or n >= 2**31
+    it = np.int64 if wide else np.int32
     xp = np.ascontiguousarray(x_padded, dtype=np.uint8)
-    sa_ = np.ascontiguousarray(sa, dtype=np.int32)
-    isa_ = np.ascontiguousarray(isa, dtype=np.int32)
-    lcp_ = np.ascontiguousarray(lcp, dtype=np.int32)
-    plcp_ = np.ascontiguousarray(plcp, dtype=np.int32)
+    sa_ = np.ascontiguousarray(sa, dtype=it)
+    isa_ = np.ascontiguousarray(isa, dtype=it)
+    lcp_ = np.ascontiguousarray(lcp, dtype=it)
+    plcp_ = np.ascontiguousarray(plcp, dtype=it)
     sx_ = np.ascontiguousarray(sx, dtype=np.uint8)
     ends = np.ascontiguousarray(sep_positions, dtype=np.int64)
     sn = len(sx_)
@@ -362,15 +373,26 @@ def ms_scan_native(x_padded, sa, isa, lcp, plcp, n, sx, sep_positions,
         pos = np.empty(cap, np.int64)
         ln = np.empty(cap, np.int64)
         sml = np.empty(cap, np.uint8)
-        r = lib.cms_ms_scan(
-            xp.ctypes.data_as(U8P), sa_.ctypes.data_as(I32P),
-            isa_.ctypes.data_as(I32P), lcp_.ctypes.data_as(I32P),
-            plcp_.ctypes.data_as(I32P), ctypes.c_int32(n),
-            sx_.ctypes.data_as(U8P), ctypes.c_int64(sn),
-            ends.ctypes.data_as(I64P), ctypes.c_int32(len(ends)),
-            ctypes.c_int64(cap), t.ctypes.data_as(I64P),
-            pos.ctypes.data_as(I64P), ln.ctypes.data_as(I64P),
-            sml.ctypes.data_as(U8P), ctypes.c_int32(nthreads))
+        if wide:
+            r = lib.cms_ms_scan_i64(
+                xp.ctypes.data_as(U8P), sa_.ctypes.data_as(I64P),
+                isa_.ctypes.data_as(I64P), lcp_.ctypes.data_as(I64P),
+                plcp_.ctypes.data_as(I64P), ctypes.c_int64(n),
+                sx_.ctypes.data_as(U8P), ctypes.c_int64(sn),
+                ends.ctypes.data_as(I64P), ctypes.c_int32(len(ends)),
+                ctypes.c_int64(cap), t.ctypes.data_as(I64P),
+                pos.ctypes.data_as(I64P), ln.ctypes.data_as(I64P),
+                sml.ctypes.data_as(U8P), ctypes.c_int32(nthreads))
+        else:
+            r = lib.cms_ms_scan(
+                xp.ctypes.data_as(U8P), sa_.ctypes.data_as(I32P),
+                isa_.ctypes.data_as(I32P), lcp_.ctypes.data_as(I32P),
+                plcp_.ctypes.data_as(I32P), ctypes.c_int32(n),
+                sx_.ctypes.data_as(U8P), ctypes.c_int64(sn),
+                ends.ctypes.data_as(I64P), ctypes.c_int32(len(ends)),
+                ctypes.c_int64(cap), t.ctypes.data_as(I64P),
+                pos.ctypes.data_as(I64P), ln.ctypes.data_as(I64P),
+                sml.ctypes.data_as(U8P), ctypes.c_int32(nthreads))
         if r >= 0:
             h = int(r)
             return t[:h], pos[:h], ln[:h], sml[:h] != 0

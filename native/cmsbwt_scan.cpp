@@ -21,6 +21,7 @@
 // Build: g++ -O3 -shared -fPIC -fopenmp (io/native.py on-demand builder).
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 #ifdef _OPENMP
@@ -36,37 +37,39 @@ struct Rec {
     uint8_t smaller;
 };
 
+template <typename IdxT>
 struct BlockMin {
     // three-level minima over lcp[0..n] (length n+1, lcp[n] = -1)
     static constexpr int64_t B = 64;
-    const int32_t* lcp;
+    const IdxT* lcp;
     int64_t n1;  // n + 1
-    std::vector<int32_t> blk;   // ceil(n1/B)
-    std::vector<int32_t> sup;   // ceil(blk/B)
+    std::vector<IdxT> blk;   // ceil(n1/B)
+    std::vector<IdxT> sup;   // ceil(blk/B)
 
-    void build(const int32_t* lcp_, int64_t n1_) {
+    void build(const IdxT* lcp_, int64_t n1_) {
         lcp = lcp_;
         n1 = n1_;
+        const IdxT IMAX = std::numeric_limits<IdxT>::max();
         int64_t nb = (n1 + B - 1) / B;
-        blk.assign(nb, INT32_MAX);
+        blk.assign(nb, IMAX);
         for (int64_t b = 0; b < nb; b++) {
             int64_t lo = b * B, hi = std::min(n1, lo + B);
-            int32_t m = INT32_MAX;
+            IdxT m = IMAX;
             for (int64_t j = lo; j < hi; j++) m = std::min(m, lcp[j]);
             blk[b] = m;
         }
         int64_t ns = (nb + B - 1) / B;
-        sup.assign(ns, INT32_MAX);
+        sup.assign(ns, IMAX);
         for (int64_t s = 0; s < ns; s++) {
             int64_t lo = s * B, hi = std::min<int64_t>(nb, lo + B);
-            int32_t m = INT32_MAX;
+            IdxT m = IMAX;
             for (int64_t b = lo; b < hi; b++) m = std::min(m, blk[b]);
             sup[s] = m;
         }
     }
 
     // max j <= i with lcp[j] < ub, else -1   (index/host.py psv semantics)
-    int64_t psv(int64_t i, int32_t ub) const {
+    int64_t psv(int64_t i, IdxT ub) const {
         if (i < 0) return -1;
         if (i >= n1) i = n1 - 1;
         int64_t b = i / B;
@@ -98,7 +101,7 @@ struct BlockMin {
     }
 
     // min j >= i with lcp[j] < ub and j < limit, else -1  (nsv: limit = n)
-    int64_t nsv(int64_t i, int32_t ub, int64_t limit) const {
+    int64_t nsv(int64_t i, IdxT ub, int64_t limit) const {
         if (i >= limit) return -1;
         if (i < 0) i = 0;
         int64_t b = i / B;
@@ -131,19 +134,21 @@ struct BlockMin {
     }
 };
 
+template <typename IdxT>
 struct Ctx {
     const uint8_t* xp;     // x_padded, length n+1
-    const int32_t* sa;
-    const int32_t* isa;
-    const int32_t* plcp;
-    int32_t n;
-    const BlockMin* bm;
+    const IdxT* sa;
+    const IdxT* isa;
+    const IdxT* plcp;
+    int64_t n;
+    const BlockMin<IdxT>* bm;
 };
 
 // leftmost SA slot in [lo,hi] with xp[sa[m]+offset] == c, else
 // -(insertion_point+1)   (ms_host._binary_search_lb)
-static inline int64_t bs_lb(const Ctx& C, int64_t lo, int64_t hi,
-                            int64_t offset, int c) {
+template <typename IdxT>
+static inline int64_t bs_lb(const Ctx<IdxT>& C, int64_t lo, int64_t hi,
+                           int64_t offset, int c) {
     int64_t low = lo, high = hi;
     while (low <= high) {
         int64_t mid = (low + high) >> 1;
@@ -159,8 +164,9 @@ static inline int64_t bs_lb(const Ctx& C, int64_t lo, int64_t hi,
     return -(low + 1);
 }
 
-static inline int64_t bs_rb(const Ctx& C, int64_t lo, int64_t hi,
-                            int64_t offset, int c) {
+template <typename IdxT>
+static inline int64_t bs_rb(const Ctx<IdxT>& C, int64_t lo, int64_t hi,
+                           int64_t offset, int c) {
     int64_t low = lo, high = hi;
     while (low <= high) {
         int64_t mid = (low + high) >> 1;
@@ -176,18 +182,20 @@ static inline int64_t bs_rb(const Ctx& C, int64_t lo, int64_t hi,
     return -(low + 1);
 }
 
-static inline void adjust_interval(const Ctx& C, int64_t lo, int64_t hi,
+template <typename IdxT>
+static inline void adjust_interval(const Ctx<IdxT>& C, int64_t lo, int64_t hi,
                                    int64_t offset, int64_t* out_lo,
                                    int64_t* out_hi) {
-    int64_t p = C.bm->psv(lo, (int32_t)offset);
+    int64_t p = C.bm->psv(lo, (IdxT)offset);
     if (p == -1) p = 0;
-    int64_t q = C.bm->nsv(hi + 1, (int32_t)offset, C.n);
+    int64_t q = C.bm->nsv(hi + 1, (IdxT)offset, C.n);
     q = (q == -1) ? C.n - 1 : q - 1;
     *out_lo = p;
     *out_hi = q;
 }
 
-static inline void contract_left(const Ctx& C, int64_t lo, int64_t hi,
+template <typename IdxT>
+static inline void contract_left(const Ctx<IdxT>& C, int64_t lo, int64_t hi,
                                  int64_t offset, int64_t* out_lo,
                                  int64_t* out_hi) {
     int64_t suflo = C.sa[lo], sufhi = C.sa[hi];
@@ -201,7 +209,8 @@ static inline void contract_left(const Ctx& C, int64_t lo, int64_t hi,
 }
 
 // ms_host.compute_ms_factor_at (ref computeMSFactorAt :45-88)
-static void ms_factor_at(const Ctx& C, const uint8_t* content, int64_t L,
+template <typename IdxT>
+static void ms_factor_at(const Ctx<IdxT>& C, const uint8_t* content, int64_t L,
                          int64_t i, int64_t length, int64_t* left_b,
                          int64_t* right_b, int64_t* out_pos,
                          int64_t* out_len, uint8_t* out_smaller) {
@@ -249,9 +258,10 @@ static void ms_factor_at(const Ctx& C, const uint8_t* content, int64_t L,
 // one separator-terminated document (ms_host.ms_scan_document), emitting
 // HEAD records only: the PLCP skip run slides over tails without storing
 // them (the merge derives tails from head spans)
-static void scan_document(const Ctx& C, const uint8_t* content, int64_t L,
+template <typename IdxT>
+static void scan_document(const Ctx<IdxT>& C, const uint8_t* content, int64_t L,
                           int64_t base, std::vector<Rec>& out) {
-    const int32_t* plcp = C.plcp;
+    const IdxT* plcp = C.plcp;
     int64_t n = C.n;
     int64_t i = 0;
     int64_t left_b = 0, right_b = n - 1;
@@ -287,23 +297,17 @@ static void scan_document(const Ctx& C, const uint8_t* content, int64_t L,
     out.push_back(Rec{base + L - 1, n - 1, 0, 0});
 }
 
-}  // namespace
-
-extern "C" {
-
-// Scan the collection (documents delimited by doc_bounds) and emit head
-// records.  Returns the head count on success; -(needed) if cap was too
-// small (caller reallocates and retries — nothing was written).
-int64_t cms_ms_scan(const uint8_t* x_padded, const int32_t* sa,
-                    const int32_t* isa, const int32_t* lcp,
-                    const int32_t* plcp, int32_t n, const uint8_t* sx,
-                    int64_t sn, const int64_t* doc_ends, int32_t n_docs,
-                    int64_t cap, int64_t* head_t, int64_t* head_pos,
-                    int64_t* head_len, uint8_t* head_smaller,
-                    int32_t nthreads) {
-    BlockMin bm;
-    bm.build(lcp, (int64_t)n + 1);
-    Ctx C{x_padded, sa, isa, plcp, n, &bm};
+template <typename IdxT>
+static int64_t scan_all(const uint8_t* x_padded, const IdxT* sa,
+                        const IdxT* isa, const IdxT* lcp,
+                        const IdxT* plcp, int64_t n, const uint8_t* sx,
+                        int64_t sn, const int64_t* doc_ends, int32_t n_docs,
+                        int64_t cap, int64_t* head_t, int64_t* head_pos,
+                        int64_t* head_len, uint8_t* head_smaller,
+                        int32_t nthreads) {
+    BlockMin<IdxT> bm;
+    bm.build(lcp, n + 1);
+    Ctx<IdxT> C{x_padded, sa, isa, plcp, n, &bm};
     std::vector<std::vector<Rec>> per_doc(n_docs);
 #ifdef _OPENMP
     if (nthreads > 0) omp_set_num_threads(nthreads);
@@ -328,6 +332,41 @@ int64_t cms_ms_scan(const uint8_t* x_padded, const int32_t* sa,
         }
     }
     return total;
+}
+
+}  // namespace
+
+extern "C" {
+
+// Scan the collection (documents delimited by doc_ends) and emit head
+// records.  Returns the head count on success; -(needed) if cap was too
+// small (caller reallocates and retries — nothing was written).
+int64_t cms_ms_scan(const uint8_t* x_padded, const int32_t* sa,
+                    const int32_t* isa, const int32_t* lcp,
+                    const int32_t* plcp, int32_t n, const uint8_t* sx,
+                    int64_t sn, const int64_t* doc_ends, int32_t n_docs,
+                    int64_t cap, int64_t* head_t, int64_t* head_pos,
+                    int64_t* head_len, uint8_t* head_smaller,
+                    int32_t nthreads) {
+    return scan_all<int32_t>(x_padded, sa, isa, lcp, plcp, n, sx, sn,
+                             doc_ends, n_docs, cap, head_t, head_pos,
+                             head_len, head_smaller, nthreads);
+}
+
+// int64-indexed variant: the giant-reference route (n >= 2^31; the
+// sharded int64 mesh index feeds this engine — the reference tool's own
+// int32 libsais cap is the bound being lifted, ref
+// CMS-BWT-functions.cpp:246)
+int64_t cms_ms_scan_i64(const uint8_t* x_padded, const int64_t* sa,
+                        const int64_t* isa, const int64_t* lcp,
+                        const int64_t* plcp, int64_t n, const uint8_t* sx,
+                        int64_t sn, const int64_t* doc_ends,
+                        int32_t n_docs, int64_t cap, int64_t* head_t,
+                        int64_t* head_pos, int64_t* head_len,
+                        uint8_t* head_smaller, int32_t nthreads) {
+    return scan_all<int64_t>(x_padded, sa, isa, lcp, plcp, n, sx, sn,
+                             doc_ends, n_docs, cap, head_t, head_pos,
+                             head_len, head_smaller, nthreads);
 }
 
 }  // extern "C"

@@ -52,3 +52,19 @@ def test_giant_route_rejects_int32_backends(tmp_path, monkeypatch):
                  backend="dense")
     with pytest.raises(ValueError, match="int32"):
         compute_bwt(cfg)
+
+
+def test_giant_route_uses_native_engine(tmp_path, monkeypatch):
+    """The >2^31 route runs the native int64 scan engine, not the numpy
+    spec loop (VERDICT r03 item 5)."""
+    from cmsbwt_tpu.io.native import get_scan_lib
+    if get_scan_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(14)
+    ref = random_dna(rng, 900)
+    docs = [mutate(rng, ref, 0.01) for _ in range(3)]
+    lst, _, _ = make_inputs(tmp_path, ref, docs)
+    monkeypatch.setenv("CMSBWT_GIANT_THRESHOLD", "500")
+    cfg = Config(filename=str(lst), outname=str(tmp_path / "g"))
+    out = compute_bwt(cfg)
+    assert out["backend"] == "native"
