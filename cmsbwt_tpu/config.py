@@ -69,9 +69,12 @@ class Config:
     index_cache_dir: Optional[str] = None   # None -> CMSBWT_INDEX_CACHE or
                                             # ~/.cache/cmsbwt_tpu/ref_index
     # k-mer absence probe steering backend="auto" (engine/probe.py): below
-    # the threshold the collection is low-divergence and routes to the
-    # native PLCP-skip scan engine; above it the dense device pipeline wins
-    probe_threshold: float = 0.15   # absent-fraction cutoff (~0.5% SNP)
+    # the threshold the collection routes to the native PLCP-skip scan
+    # engine; above it the dense device pipeline wins. Measured crossover
+    # at the 20 Mchar primary shape: native 8.8s vs dense 9.9s at 3% SNP,
+    # 19.8s vs 18.7s at 8% — the engines cross near 5-6% SNP, i.e. a
+    # 24-mer absent fraction around 0.72
+    probe_threshold: float = 0.72
     probe_kmer: int = 24
     probe_ref_cap: int = 8 << 20    # skip the probe above this ref size
     probe_samples: int = 1 << 16

@@ -102,6 +102,7 @@ def test_auto_routes_by_divergence(monkeypatch):
     monkeypatch.setattr(jax, "devices", lambda *a: accel_devices)
     assert pl._resolve_backend("auto", 10_000_000, x_aug=x_aug,
                                sx=sx_low, cfg=cfg) == "native"
-    _, sx_high, _ = _mk(rng, 30000, 2, 0.02)
+    # above the measured native/dense crossover (~5-6% SNP) -> dense
+    _, sx_high, _ = _mk(rng, 30000, 2, 0.08)
     assert pl._resolve_backend("auto", 10_000_000, x_aug=x_aug,
                                sx=sx_high, cfg=cfg) == "dense"
