@@ -18,15 +18,20 @@ single-device merge engine leans on — see engine/device_merge.py):
 * ``dscatter``    — routed cross-shard scatter set/add/max (at[idx].op)
 * ``dshift``      — global out[i] = vals[i+w] (adjacent-row compares)
 
-Capacity note: bucket exchanges use the padded (n_shards, local) grid of
-parallel/sharded_index.py — a dsort's receive buffer is O(G) per shard
-(a source never overflows a per-destination bucket because it only has
-``local`` rows, but the grid itself is the full global size).  That is
-the correctness-first prototype shape, same as the sharded index;
-production-scale runs would cap per-bucket capacity at a small multiple
-of local/n_shards with an overflow retry.
+Capacity contract: every bucket exchange sends through a
+``(n_shards, cap)`` grid with ``cap = cap_factor * ceil(local/n_shards)``
+(set per program via ``set_cap_factor``; ``None``/``>= n_shards`` falls
+back to the full ``local`` grid).  Rows past a bucket's capacity are
+DROPPED and the per-shard overflow flag is recorded in the active
+``overflow_scope`` — the caller re-runs the program with a doubled
+factor (sample-sort splitters make overflow rare; a factor of
+``n_shards`` is exactly the old O(G) grid, so the retry chain always
+terminates with a correct run).
 """
 from __future__ import annotations
+
+import threading
+from contextlib import contextmanager
 
 import numpy as np
 
@@ -35,6 +40,51 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 AXIS = "mrg"
+_TLS = threading.local()
+
+
+def set_cap_factor(cf) -> None:
+    """Set the exchange capacity factor for programs traced on THIS thread
+    (stage programs pass it as a static jit arg and call this at trace
+    entry, so the jit cache keys on it)."""
+    _TLS.cap_factor = cf
+
+
+def _cap_rows(local: int, n_shards: int) -> int:
+    cf = getattr(_TLS, "cap_factor", None)
+    if not cf or cf >= n_shards:
+        return local
+    return min(local, int(cf) * (-(-local // n_shards)) + 8)
+
+
+def _note_overflow(flag) -> None:
+    lst = getattr(_TLS, "overflow", None)
+    if lst is not None:
+        lst.append(flag)
+
+
+@contextmanager
+def overflow_scope():
+    """Collect per-shard overflow flags of every capped exchange traced
+    inside the scope (thread-local, so concurrent prewarm traces cannot
+    cross-contaminate)."""
+    old = getattr(_TLS, "overflow", None)
+    _TLS.overflow = []
+    try:
+        yield _TLS.overflow
+    finally:
+        _TLS.overflow = old
+
+
+def overflow_any(flags):
+    """OR of collected flags across the mesh (psum), as an int64 scalar."""
+    import jax
+    if not flags:
+        return jnp.zeros((), jnp.int64)
+    local = jnp.zeros((), jnp.int64)
+    for f in flags:
+        local = local | f.astype(jnp.int64)
+    return (jax.lax.psum(local, AXIS) > 0).astype(jnp.int64)
 # Python int (jnp.int64 at import time would truncate to int32 when x64
 # is off — dsort's default kmax would become 0 and kill every row)
 I64_MAX = 1 << 62
@@ -191,13 +241,17 @@ def dgather(vals, q, oob_val, local_v: int, n_shards: int):
     qc = jnp.clip(q, 0, n_total - 1)
     dest = (qc // local_v).astype(jnp.int32)
     offs = _bucket_offsets(dest, n_shards)
-    sendq = jnp.zeros((n_shards, lq), jnp.int64)
-    sendq = sendq.at[dest, offs].set(qc - dest.astype(jnp.int64) * local_v)
+    cap = _cap_rows(lq, n_shards)
+    _note_overflow(jnp.any(inr & (offs >= cap)))
+    sendq = jnp.zeros((n_shards, cap), jnp.int64)
+    sendq = sendq.at[dest, offs].set(
+        qc - dest.astype(jnp.int64) * local_v, mode="drop")
     recvq = jax.lax.all_to_all(sendq, AXIS, 0, 0, tiled=False)
     ans = vals[jnp.clip(recvq, 0, local_v - 1)]
     back = jax.lax.all_to_all(ans, AXIS, 0, 0, tiled=False)
-    res = back[dest, offs]
-    return jnp.where(inr, res, oob_val)
+    offs_c = jnp.minimum(offs, cap - 1)
+    res = back[dest, offs_c]
+    return jnp.where(inr & (offs < cap), res, oob_val)
 
 
 def dscatter(base, idx, val, local_b: int, n_shards: int,
@@ -213,8 +267,10 @@ def dscatter(base, idx, val, local_b: int, n_shards: int,
     slot = (idxc - (idxc // local_b) * local_b).astype(jnp.int32)
     offs = _bucket_offsets(dest, n_shards)
     lq = idx.shape[0]
-    sendv = jnp.zeros((n_shards, lq), val.dtype)
-    sendx = jnp.full((n_shards, lq), local_b, jnp.int32)
+    cap = _cap_rows(lq, n_shards)
+    _note_overflow(jnp.any(live & (offs >= cap)))
+    sendv = jnp.zeros((n_shards, cap), val.dtype)
+    sendx = jnp.full((n_shards, cap), local_b, jnp.int32)
     sendv = sendv.at[dest, offs].set(jnp.where(live, val,
                                                jnp.zeros((), val.dtype)),
                                      mode="drop")
@@ -243,6 +299,13 @@ def _route_rows(gpos, val, fill, local: int, n_shards: int):
     # gpos is unique), but my rows sharing a dest need distinct bucket
     # offsets
     offs = _bucket_offsets(dest, n_shards)
+    # NOT capped: this is the contiguous-rank relayout — a source's live
+    # rows map to CONSECUTIVE global ranks, so a single (src, dest) cell
+    # structurally carries up to ``local`` rows whenever one source holds
+    # a destination's whole slice. The splitter-balanced bucket exchange
+    # (dsort) and the query routers (dgather/dscatter) are the capped
+    # ones; replacing this full-width relayout with rotation-based
+    # placement is the remaining capacity TODO.
     sendv = jnp.zeros((n_shards, local), val.dtype)
     sendx = jnp.full((n_shards, local), local, jnp.int32)
     sendv = sendv.at[dest, offs].set(val, mode="drop")
@@ -280,13 +343,21 @@ def dsort(keys, payloads, local: int, n_shards: int, kmax=I64_MAX):
     below = (s0[None, :] < k0s[:, None]) | \
         ((s0[None, :] == k0s[:, None]) & (s1[None, :] <= k1s[:, None]))
     dest = jnp.sum(below.astype(jnp.int32), axis=1)
+    # pad rows (keys >= kmax) are never routed — receivers reconstruct
+    # them as fills — so they must not consume bucket capacity
+    live_in = k0s < jnp.asarray(kmax, k0.dtype)
+    dest = jnp.where(live_in, dest, n_shards)
     # rows are locally sorted => dest non-decreasing => offset by first
     first = jnp.searchsorted(dest, jnp.arange(n_shards), side="left")
-    offs = jnp.arange(local) - first[dest]
+    offs = jnp.arange(local) - first[jnp.minimum(dest, n_shards - 1)]
+    offs = jnp.where(live_in, offs, 0)
+    cap = _cap_rows(local, n_shards)
+    _note_overflow(jnp.any(live_in & (offs >= cap)))
 
     def exch(arr, fill):
-        send = jnp.full((n_shards, local), fill, arr.dtype)
-        send = send.at[dest, offs].set(arr)
+        send = jnp.full((n_shards, cap), fill, arr.dtype)
+        send = send.at[jnp.where(live_in, dest, n_shards), offs].set(
+            arr, mode="drop")
         return jax.lax.all_to_all(send, AXIS, 0, 0,
                                   tiled=False).reshape(-1)
 

@@ -28,6 +28,14 @@ All arithmetic is int64 (enable_x64 inside the programs): the sharded
 merge is also the capacity route for collections past the int32 device
 merge bound (CMS-BWT.h:26,46 — sn is uint64 in the reference).
 
+Exchange capacity: the sample-sort bucket exchanges and the query
+routers run on (R, cap_factor*local/R + 8) grids with drop-and-retry on
+overflow (parallel/dist.py capacity contract; driver loop in
+merge_heads_sharded doubles the factor until clean, terminating at the
+full-local grid). The contiguous-rank relayout (_route_rows) remains
+full-width — see its docstring. Remaining TODO: early convergence for
+_dist_suffix_sort (it always runs ceil(log2(G_H)) doubling rounds).
+
 Validated byte-equal against the single-device merge and the host engine
 on the virtual 8-device CPU mesh (tests/test_sharded_merge.py) and by
 ``__graft_entry__.dryrun_multichip``.
@@ -218,13 +226,21 @@ def _dist_suffix_sort(s_vals, length, lh: int, R: int, rounds: int):
 
     rank = rerank(sym, jnp.zeros(lh, I64))
 
-    def round_k(rank, k):
+    # exchange overflow flags born inside the scan body must not leak to
+    # the outer trace (dist.py capacity contract): each round collects its
+    # own flags into the scan carry; the reduced flag is re-noted outside
+    def round_k(carry, k):
+        rank, ovf = carry
         w = I64(1) << k
-        nxt = dshift(rank, w, I64(-1), lh, R)
-        return rerank(rank, nxt), None
+        with D.overflow_scope() as flags:
+            nxt = dshift(rank, w, I64(-1), lh, R)
+            out = rerank(rank, nxt)
+            ovf = ovf | D.overflow_any(flags)
+        return (out, ovf), None
 
-    rank, _ = jax.lax.scan(round_k, rank,
-                           jnp.arange(rounds, dtype=jnp.int64))
+    (rank, ovf), _ = jax.lax.scan(round_k, (rank, jnp.zeros((), I64)),
+                                  jnp.arange(rounds, dtype=jnp.int64))
+    D._note_overflow(ovf != 0)
     return rank  # ISA over the padded domain
 
 
@@ -675,10 +691,12 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
     scan as a local scan + shard-prefix exchange; slot counters accumulate
     by routed scatter-add; the final run list downloads one shard-slice
     per device. Byte-equal to engine/device_merge.merge_heads_numpy."""
+    import os as _os
     mesh = D.make_mesh(n_devices)
     R = int(mesh.devices.size)
     lh = -(-max(h + 2, 16) // R)
     ln_ = -(-max(n + 2, 16) // R)
+    cf = int(_os.environ.get("CMSBWT_SHARD_CAP_FACTOR", "4"))
     with jax.enable_x64(True):
         args = [
             D.shard(mesh, np.asarray(head_t, np.int64)[:h], 0, lh),
@@ -695,30 +713,55 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
         while (1 << rounds) < max(lh * R, 2):
             rounds += 1
 
-        (cls_stack, pairs_stack, meta_sh, member_rank_sorted, cls_of_slot,
-         sa_ord, bwt_heads, tails_cnt, slot_base) = _stage_a_program(
-            mesh, *args, scal, lh=lh, ln_=ln_, R=R, rounds=rounds)
-        meta = jnp.asarray(np.asarray(meta_sh)[:3])  # replicated copy
-        total_pairs = int(np.asarray(meta[2]))
-        lp = -(-max(total_pairs, 16) // R)
-        (counter, stats_sh, e_pidx, e_fnd, src_cls) = _stage_good_program(
-            mesh, cls_stack, pairs_stack, slot_base, meta, scal,
-            lh=lh, lp=lp, R=R)
-        n_exact = int(np.asarray(stats_sh)[0])
-        exact_members = int(np.asarray(stats_sh)[1])
-        if n_exact:
-            lm = -(-max(exact_members, 16) // R)
-            counter2 = _stage_exact(
-                mesh, cls_stack, pairs_stack, slot_base,
-                member_rank_sorted, cls_of_slot, e_pidx, e_fnd, src_cls,
-                jnp.asarray([n_exact, h], jnp.int64),
-                lh=lh, lp=lp, lm=lm, R=R)
-            counter = counter + counter2
-        rl, rc, n_runs_sh = _stage_runs(
-            mesh, cls_stack, sa_ord, slot_base, counter,
-            tails_cnt, bwt_heads, args[5], args[6], args[7], scal,
-            lh=lh, ln_=ln_, R=R, rle_quirk=bool(rle_quirk))
-        n_runs = int(np.asarray(n_runs_sh)[0])
+        # capacity-bounded exchanges with overflow retry (parallel/dist.py
+        # capacity contract): a doubled factor re-runs the merge; factor
+        # >= R is exactly the old full-local grid, so the chain terminates
+        while True:
+            cfa = None if cf >= R else cf
+            (cls_stack, pairs_stack, meta_sh, member_rank_sorted,
+             cls_of_slot, sa_ord, bwt_heads, tails_cnt,
+             slot_base) = _stage_a_program(
+                mesh, *args, scal, lh=lh, ln_=ln_, R=R, rounds=rounds,
+                cap_factor=cfa)
+            meta_np = np.asarray(meta_sh)[:4]
+            if int(meta_np[3]):
+                cf *= 2
+                continue
+            meta = jnp.asarray(meta_np[:3])  # replicated copy
+            total_pairs = int(meta_np[2])
+            lp = -(-max(total_pairs, 16) // R)
+            (counter, stats_sh, e_pidx, e_fnd,
+             src_cls) = _stage_good_program(
+                mesh, cls_stack, pairs_stack, slot_base, meta, scal,
+                lh=lh, lp=lp, R=R, cap_factor=cfa)
+            stats_np = np.asarray(stats_sh)[:3]
+            if int(stats_np[2]):
+                cf *= 2
+                continue
+            n_exact = int(stats_np[0])
+            exact_members = int(stats_np[1])
+            if n_exact:
+                lm = -(-max(exact_members, 16) // R)
+                counter2, eovf_sh = _stage_exact(
+                    mesh, cls_stack, pairs_stack, slot_base,
+                    member_rank_sorted, cls_of_slot, e_pidx, e_fnd,
+                    src_cls, jnp.asarray([n_exact, h], jnp.int64),
+                    lh=lh, lp=lp, lm=lm, R=R, cap_factor=cfa)
+                if int(np.asarray(eovf_sh)[0]):
+                    cf *= 2
+                    continue
+                counter = counter + counter2
+            rl, rc, n_runs_sh = _stage_runs(
+                mesh, cls_stack, sa_ord, slot_base, counter,
+                tails_cnt, bwt_heads, args[5], args[6], args[7], scal,
+                lh=lh, ln_=ln_, R=R, rle_quirk=bool(rle_quirk),
+                cap_factor=cfa)
+            nr_np = np.asarray(n_runs_sh)[:2]
+            if int(nr_np[1]):
+                cf *= 2
+                continue
+            n_runs = int(nr_np[0])
+            break
         run_len = np.asarray(rl)[:n_runs].astype(np.int64)
         run_char = np.asarray(rc)[:n_runs].astype(np.uint8)
     return run_len, run_char
@@ -745,12 +788,17 @@ def _unstack_pairs(stack, n_buckets, total):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "lh", "ln_", "R", "rounds"))
+                   static_argnames=("mesh", "lh", "ln_", "R", "rounds",
+                                    "cap_factor"))
 def _stage_a_program(mesh, t, pos, ln, smaller, char, ref_sa, ref_isa,
                      ref_bwt, scal, lh: int, ln_: int, R: int,
-                     rounds: int):
+                     rounds: int, cap_factor=None):
+    D.set_cap_factor(cap_factor)
+
     def body(t, pos, ln, smaller, char, ref_sa, ref_isa, ref_bwt, scal):
         h, n, sn, d = scal[0], scal[1], scal[2], scal[3]
+        ovf_scope = D.overflow_scope()
+        flags = ovf_scope.__enter__()
         to_next, isa_next, succ = _fixup(t, pos, ln, h, ref_isa, lh, ln_,
                                          R)
         tails_cnt = _tail_counts(pos, to_next, h, lh, ln_, R)
@@ -772,11 +820,13 @@ def _stage_a_program(mesh, t, pos, ln, smaller, char, ref_sa, ref_isa,
             pairs["bucket_pos"], pairs["cls_lo"], pairs["cls_hi"],
             pairs["bucket_of_class"], pairs["pair_lo"],
             pairs["pair_cnt"]])
-        # replicated scalars ride a (3,)-per-shard P(AXIS) output (the
-        # host reads [:3]) — a P() out spec would reject collective-
+        # replicated scalars ride a per-shard P(AXIS) output (the host
+        # reads a prefix) — a P() out spec would reject collective-
         # derived (device-varying) values under shard_map's vma checks
+        ovf = D.overflow_any(flags)
+        ovf_scope.__exit__(None, None, None)
         meta = jnp.stack([cls["n_classes"], pairs["n_buckets"],
-                          pairs["total"]])
+                          pairs["total"], ovf])
         return (cls_stack, pairs_stack, meta, member_rank_sorted,
                 cls_of_slot, sa_ord, bwt_heads, tails_cnt, slot_base)
 
@@ -788,16 +838,21 @@ def _stage_a_program(mesh, t, pos, ln, smaller, char, ref_sa, ref_isa,
         t, pos, ln, smaller, char, ref_sa, ref_isa, ref_bwt, scal)
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "lh", "lp", "R"))
+@functools.partial(jax.jit, static_argnames=("mesh", "lh", "lp", "R",
+                                             "cap_factor"))
 def _stage_good_program(mesh, cls_stack, pairs_stack, slot_base, meta,
-                        scal, lh: int, lp: int, R: int):
+                        scal, lh: int, lp: int, R: int, cap_factor=None):
+    D.set_cap_factor(cap_factor)
+
     def body(cls_stack, pairs_stack, slot_base, meta, scal):
         h, n = scal[0], scal[1]
         cls = _unstack_cls(cls_stack, meta[0])
         pairs = _unstack_pairs(pairs_stack, meta[1], meta[2])
-        (counter, n_exact, exact_members, e_pidx, e_fnd,
-         src_cls) = _tail_good(cls, pairs, slot_base, h, n, lh, lp, R)
-        return (counter, jnp.stack([n_exact, exact_members]), e_pidx,
+        with D.overflow_scope() as flags:
+            (counter, n_exact, exact_members, e_pidx, e_fnd,
+             src_cls) = _tail_good(cls, pairs, slot_base, h, n, lh, lp, R)
+            ovf = D.overflow_any(flags)
+        return (counter, jnp.stack([n_exact, exact_members, ovf]), e_pidx,
                 e_fnd, src_cls)
 
     return jax.shard_map(
@@ -808,32 +863,44 @@ def _stage_good_program(mesh, cls_stack, pairs_stack, slot_base, meta,
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "lh", "lp", "lm", "R"))
+                   static_argnames=("mesh", "lh", "lp", "lm", "R",
+                                    "cap_factor"))
 def _stage_exact(mesh, cls_stack, pairs_stack, slot_base,
                  member_rank_sorted, cls_of_slot, e_pidx, e_fnd, src_cls,
-                 escal, lh: int, lp: int, lm: int, R: int):
+                 escal, lh: int, lp: int, lm: int, R: int,
+                 cap_factor=None):
+    D.set_cap_factor(cap_factor)
+
     def body(cls_stack, pairs_stack, slot_base, member_rank_sorted,
              cls_of_slot, e_pidx, e_fnd, src_cls, escal):
         cls = _unstack_cls(cls_stack, escal[0] * 0 + (1 << 60))
         pairs = _unstack_pairs(pairs_stack, 0, 0)
-        return _tail_exact(cls, pairs, slot_base, member_rank_sorted,
-                           cls_of_slot, e_pidx, e_fnd, src_cls,
-                           escal[0], escal[1], lh, lp, lm, R)
+        with D.overflow_scope() as flags:
+            counter = _tail_exact(cls, pairs, slot_base,
+                                  member_rank_sorted, cls_of_slot, e_pidx,
+                                  e_fnd, src_cls, escal[0], escal[1],
+                                  lh, lp, lm, R)
+            ovf = D.overflow_any(flags)
+        return counter, ovf[None]
 
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(None, AXIS), P(None, AXIS), P(AXIS), P(AXIS),
                   P(AXIS), P(AXIS), P(AXIS), P(AXIS), P()),
-        out_specs=P(AXIS))(
+        out_specs=(P(AXIS), P(AXIS)))(
         cls_stack, pairs_stack, slot_base, member_rank_sorted,
         cls_of_slot, e_pidx, e_fnd, src_cls, escal)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("mesh", "lh", "ln_", "R", "rle_quirk"))
+                   static_argnames=("mesh", "lh", "ln_", "R", "rle_quirk",
+                                    "cap_factor"))
 def _stage_runs(mesh, cls_stack, sa_ord, slot_base, counter, tails_cnt,
                 bwt_heads, ref_sa, ref_isa, ref_bwt, scal,
-                lh: int, ln_: int, R: int, rle_quirk: bool):
+                lh: int, ln_: int, R: int, rle_quirk: bool,
+                cap_factor=None):
+    D.set_cap_factor(cap_factor)
+
     def body(cls_stack, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
              ref_sa, ref_isa, ref_bwt, scal):
         h, n, sn, d = scal[0], scal[1], scal[2], scal[3]
@@ -841,11 +908,13 @@ def _stage_runs(mesh, cls_stack, sa_ord, slot_base, counter, tails_cnt,
         # are BIG-padded in pos — count them
         n_classes = _tot((cls_stack[0] < BIG).astype(I64))
         cls = _unstack_cls(cls_stack, n_classes)
-        rl, rc, n_runs = _runs_emit(cls, sa_ord, slot_base, counter,
-                                    tails_cnt, bwt_heads, ref_sa, ref_isa,
-                                    ref_bwt, d, n, h, lh, ln_, R,
-                                    rle_quirk)
-        return rl, rc, n_runs[None]
+        with D.overflow_scope() as flags:
+            rl, rc, n_runs = _runs_emit(cls, sa_ord, slot_base, counter,
+                                        tails_cnt, bwt_heads, ref_sa,
+                                        ref_isa, ref_bwt, d, n, h, lh,
+                                        ln_, R, rle_quirk)
+            ovf = D.overflow_any(flags)
+        return rl, rc, jnp.stack([n_runs, ovf])
 
     return jax.shard_map(
         body, mesh=mesh,
