@@ -118,6 +118,31 @@ class CMSBWT:
             result = pipeline_mod.compute_bwt_arrays(
                 index, coll, rle_quirk, ms=ms, timer=timer,
                 buffer_bytes=buffer_bytes)
+        elif backend == "native":
+            # the host index is cached on the model — index-once /
+            # transform-many is exactly the native engine's sweet spot
+            from ..io.native import ms_scan_native
+            idx = self.index
+            with timer.phase("ms_scan"):
+                res = ms_scan_native(
+                    idx.x_padded, idx.sa, idx.isa, idx.lcp, idx.plcp,
+                    idx.n, coll.sx, coll.sep_positions)
+            if res is None:     # no toolchain: host spec scan
+                result = pipeline_mod.compute_bwt_arrays(
+                    idx, coll, rle_quirk, timer=timer,
+                    buffer_bytes=buffer_bytes)
+            else:
+                import numpy as np
+                from ..engine.heads import HeadArrays
+                t, pos, ln, sml = res
+                z = lambda: np.zeros(len(t), np.int64)
+                char = coll.sx[(t - 1) % max(coll.sn, 1)]
+                heads = HeadArrays(t=t, pos=pos, length=ln, smaller=sml,
+                                   char=char, to_next=z(), isa_next=z(),
+                                   succ=z(), h=len(t))
+                result = pipeline_mod.merge_from_heads(
+                    idx, heads, coll.d, coll.sn, rle_quirk, timer,
+                    buffer_bytes=buffer_bytes)
         else:
             result = pipeline_mod.compute_bwt_arrays(
                 self.index, coll, rle_quirk, timer=timer,
