@@ -323,13 +323,10 @@ def main():
               "falling back to CPU platform", file=sys.stderr)
         os.environ["JAX_PLATFORMS"] = "cpu"
         platform = "cpu"
-        if "BENCH_BACKEND" not in os.environ:
-            # best measured CPU path at the primary config: jump at 1024
-            # lanes into the native OpenMP merge (lane sweep optimum; CPU
-            # XLA is element-bound, unlike the latency-bound TPU gathers)
-            os.environ.setdefault("CMSBWT_MERGE_BACKEND", "host")
-            os.environ.setdefault("BENCH_CPU_LANES", "1024")
-            os.environ.setdefault("BENCH_BACKEND", "jump")
+        # backend=auto on a CPU-only process resolves to the native scan
+        # engine + host/OpenMP merge — the best measured CPU path (the
+        # old jump-scan fallback measured 41 s / 0.12x at the primary
+        # config; the native engine runs it at CPU-reference speed)
         # CPU fallback: the extra configs would take tens of minutes;
         # keep the driver line meaningful with the primary config only
         names = [n for n in names if n == "primary"] or ["primary"]
