@@ -87,14 +87,30 @@ def _head_string_suffix_sort(rank_to_head: np.ndarray) -> np.ndarray:
     Large head strings go through the device prefix-doubling pipeline; small
     ones stay on host (kernel launch overhead dominates below ~200K).
     """
-    if len(rank_to_head) > DEVICE_SORT_THRESHOLD:
+    L = len(rank_to_head)
+    if L > DEVICE_SORT_THRESHOLD:
         try:
             import jax.numpy as jnp
 
             from ..index.device import suffix_array_device
+            from ..utils.jaxcache import bucket_size
+            BIG = np.int32(1 << 30)
+            L_pad = bucket_size(L)
+            if L_pad < (1 << 30) and int(rank_to_head.max(initial=0)) < BIG:
+                # bucket-pad so repeat runs with nearby head counts reuse
+                # ONE compiled program (an exact-length shape recompiles
+                # ~60 s on the tunnel for every new collection): pad
+                # positions get distinct ascending symbols above every
+                # real rank, so their suffixes resolve immediately and
+                # sort after all real ones (head_string_sa_dev's trick)
+                s = np.empty(L_pad, np.int32)
+                s[:L] = rank_to_head
+                s[L:] = BIG + np.arange(L, L_pad, dtype=np.int32)
+                sa, _, _, _ = suffix_array_device(jnp.asarray(s), L_pad)
+                sa_np = np.asarray(sa)
+                return sa_np[sa_np < L]
             sa, _, _, _ = suffix_array_device(
-                jnp.asarray(rank_to_head.astype(np.int32)),
-                len(rank_to_head))
+                jnp.asarray(rank_to_head.astype(np.int32)), L)
             return np.asarray(sa)
         except Exception:
             pass
