@@ -106,3 +106,23 @@ def test_auto_routes_by_divergence(monkeypatch):
     _, sx_high, _ = _mk(rng, 30000, 2, 0.08)
     assert pl._resolve_backend("auto", 10_000_000, x_aug=x_aug,
                                sx=sx_high, cfg=cfg) == "dense"
+
+
+def test_native_backend_chars_absent_from_reference(tmp_path):
+    """Non-ACGT collection bytes (alphabet augmentation) through the
+    native C++ engine — byte-equal to the brute-force oracle."""
+    from cmsbwt_tpu.engine.pipeline import compute_bwt
+    if get_scan_lib() is None:
+        pytest.skip("no native toolchain")
+    rng = np.random.default_rng(17)
+    ref = rng.choice(np.frombuffer(b"ACGT", np.uint8), size=150)
+    (tmp_path / "ref.fa").write_bytes(b">r\n" + ref.tobytes() + b"\n")
+    (tmp_path / "coll.fa").write_bytes(
+        b">d0\nACGTNNNNACGT\n>d1\nNNXYZWWQNN\n")
+    lst = tmp_path / "in.txt"
+    lst.write_text(f"{tmp_path}/ref.fa\n{tmp_path}/coll.fa\n")
+    cfg = Config(filename=str(lst), outname=str(tmp_path / "o"),
+                 backend="native", index_cache_dir="")
+    compute_bwt(cfg)
+    coll = fasta.parse_collection(str(tmp_path / "coll.fa"), 1 << 62)
+    assert (tmp_path / "o.bwt").read_bytes() == brute_multidoc_bwt(coll.sx)
