@@ -11,12 +11,17 @@
 // shape: the auto dispatcher routes it to this native engine (OpenMP over
 // documents), while high-divergence inputs keep the dense device pipeline.
 //
-// Semantics mirror cmsbwt_tpu/engine/ms_host.py (the project's spec
-// implementation of ref computeMSFactorAt :45-88, binary searches :94-149,
-// driver loop :357-403) — emitting HEAD records only; tails are derived by
-// the merge from head spans.  PSV/NSV queries use an original three-level
-// block-minima structure (64-element blocks, 64-block superblocks) over
-// the LCP array instead of the reference's rmq_tree.
+// Provenance: this file is a C++ transcription of THIS PROJECT's spec
+// engine, cmsbwt_tpu/engine/ms_host.py (which documents the semantics of
+// ref computeMSFactorAt :45-88, binary searches :94-149, driver loop
+// :357-403 — byte-equality against the reference binary leaves zero
+// semantic slack, so any correct engine computes the same factor chain).
+// Structure differs from the reference's: head records only (no tail
+// emission, no bucketsForExpandedBWT sign-coding — tails are derived by
+// the merge from head spans), documents scanned by OpenMP threads into
+// per-document vectors, templated index type (int32/int64), and PSV/NSV
+// served by an original three-level block-minima structure (64-element
+// blocks, 64-block superblocks) instead of the reference's rmq_tree.
 //
 // Build: g++ -O3 -shared -fPIC -fopenmp (io/native.py on-demand builder).
 #include <cstdint>
