@@ -32,6 +32,7 @@ import numpy as np
 
 INT_MAX = np.int32(2**31 - 1)
 I64_BIG = np.int64(1) << 62
+_ACGT = np.frombuffer(b"ACGT", dtype=np.uint8)
 
 
 def sn_bound() -> int:
@@ -709,16 +710,20 @@ def runs_emit_dev(cls, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
         maxlen = jnp.max(lenm)
         key2 = jnp.where(is_last, rowi, INT_MAX)
         _, rl, rc = jax.lax.sort((key2, lenm, chr_s), num_keys=1)
-    # two-tier download: 2 bytes per run (len < 256), big runs spill to a
-    # compacted (index, len) overflow list — the host link runs at tens of
-    # MB/s, so run-list bytes are wall-clock
+    # two-tier download: ONE byte per run — 6-bit length + 2-bit ACGT
+    # code — with runs that don't fit (len >= 64 or a non-ACGT char:
+    # separators, the ref-BWT's 0 char, rare alphabet bytes) spilled to a
+    # compacted (index, len, char) overflow list. The host link runs at
+    # ~7 MB/s down, so run-list bytes are wall-clock.
     ridx2 = jnp.arange(rl.shape[0], dtype=jnp.int32)
     rvalid = ridx2 < n_groups
-    big = rvalid & (rl >= 256)
+    code = (jnp.where(rc == 67, 1, 0) + jnp.where(rc == 71, 2, 0)
+            + jnp.where(rc == 84, 3, 0)).astype(jnp.int32)
+    is_acgt = (rc == 65) | (rc == 67) | (rc == 71) | (rc == 84)
+    big = rvalid & ((rl >= 64) | ~is_acgt)
     n_big = jnp.sum(big.astype(jnp.int32)).astype(jnp.int32)
-    packed16 = jnp.where(big, 0,
-                         (rl.astype(jnp.int32) << 8)
-                         | rc.astype(jnp.int32)).astype(jnp.uint16)
+    packed8 = jnp.where(big | ~rvalid, 0,
+                        (rl.astype(jnp.int32) << 2) | code).astype(jnp.uint8)
     bkey = jnp.where(big, ridx2, INT_MAX)
     _, big_idx, big_len, big_chr = jax.lax.sort(
         (bkey, ridx2, rl, rc), num_keys=1)
@@ -729,10 +734,25 @@ def runs_emit_dev(cls, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
     # n_big > cap falls back to the full arrays host-side (rare).
     big_cap = min(L, max(1024, L >> 6))
     bsl = lambda a: jax.lax.dynamic_slice(a, (0,), (big_cap,))
-    return (packed16, bsl(big_idx), bsl(big_len),
+    # static halving prefixes of the packed run list: the merged runs are
+    # compacted at the front, but R is data-dependent while download cost
+    # follows the BUFFER size — the host fetches the smallest prefix
+    # covering R (a device-side slice-to-R-bucket would be its own jit
+    # program = a cold compile round trip at the pipeline's very end)
+    p8_tiers = tuple(jax.lax.dynamic_slice(packed8, (0,), (t,))
+                     for t in _p8_tier_sizes(L))
+    return (p8_tiers, bsl(big_idx), bsl(big_len),
             bsl(big_chr).astype(jnp.uint8),
             rl, rc.astype(jnp.uint8),
             jnp.stack([n_groups, maxlen, n_big]))
+
+
+def _p8_tier_sizes(L: int) -> list[int]:
+    """Halving prefix lengths [L, L/2, ... >= 2^16], at most 6 tiers."""
+    tiers = [L]
+    while tiers[-1] > (1 << 16) and len(tiers) < 6:
+        tiers.append(tiers[-1] // 2)
+    return tiers
 
 
 # ---------------------------------------------------------------------------
@@ -894,25 +914,27 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
         mark("tail_exact", counter)
 
     wave.ready("runs_emit")
-    (p16, big_idx, big_len, big_chr, rl_d, rc_d,
+    (p8_tiers, big_idx, big_len, big_chr, rl_d, rc_d,
      scalars) = runs_emit_dev(
         cls, sa_ord, slot_base, counter, tails_cnt,
         bwt_heads,
         ref_sa, ref_isa, ref_bwt, d_t, n_t, h_pad, n_pad, rle_quirk)
     n_nz, maxlen, n_big = (int(v) for v in _get(scalars))
     mark("runs_emit(R=%d,big=%d)" % (n_nz, n_big))
-    # full-array downloads + host slicing: a device-side slice-to-bucket
-    # is its own jit program (two cold round trips right at the end of the
-    # pipeline); the full run list is a few MB of uint16 — cheaper than
-    # the compiles it replaces even at the 100 Mchar configs
-    L_full = int(p16.shape[0])
+    # prefix-tier download + host slicing: fetch the smallest static
+    # prefix that covers the R compacted runs
+    L_full = int(p8_tiers[0].shape[0])
     big_cap = min(L_full, max(1024, L_full >> 6))
-    if n_big * 10 <= max(n_nz, 1) * 2 and n_big <= big_cap:
-        # 2 bytes/run; runs with len >= 256 spill to a compacted
-        # (index, len, char) overflow list
-        p_np = _get(p16)[:n_nz]
-        rl = (p_np >> 8).astype(np.int64)
-        rc = (p_np & 0xFF).astype(np.uint8)
+    if n_big <= big_cap:
+        # 1 byte/run; runs with len >= 64 or a non-ACGT char come from
+        # the compacted (index, len, char) overflow list
+        tier = 0
+        for i, t in enumerate(_p8_tier_sizes(L_full)):
+            if t >= n_nz:
+                tier = i
+        p_np = _get(p8_tiers[tier])[:n_nz]
+        rl = (p_np >> 2).astype(np.int64)
+        rc = _ACGT[p_np & 3]
         if n_big:
             bi_np = _get(big_idx)[:n_big]
             bl_np = _get(big_len)[:n_big]

@@ -150,7 +150,8 @@ def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int):
         return jax.lax.dynamic_slice(padded, (shift,), (m,))
 
     def round_k(carry, k):
-        rank, sa, hist, lv, resolved, u, comp_ran = carry
+        (rank, sa, hist, lv, resolved, u, comp_ran,
+         ti_c, rank_c, live_c) = carry
         w = jnp.int32(1) << k
 
         def do_full(args):
@@ -182,19 +183,28 @@ def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int):
                 num_keys=1)
             u_new = (m - jnp.sum(sing.astype(jnp.int32))).astype(jnp.int32)
             return (mid_rank, full_rank, o_s, lv, res != 0, u_new,
-                    jnp.zeros((), bool))
+                    jnp.zeros((), bool), ti_c, rank_c, live_c)
 
         def do_comp(args):
             # refine ONLY the u unresolved elements: extract them grouped
-            # by current rank, sort the slice by the quad keys, renumber
-            # within groups (rank == group start position, so new rank =
-            # group rank + local offset), scatter the updates back
+            # by current rank (ONCE — later rounds reuse the carried slice:
+            # the unresolved set only shrinks, so the full-m extraction
+            # sort is paid a single time, not per round), sort the slice by
+            # the quad keys, renumber within groups (rank == group start
+            # position, so new rank = group rank + local offset), scatter
+            # the updates back
             rank, sa, lv, resolved = args
-            ckey = jnp.where(resolved, INT32_MAX, rank)
-            ck_s, ti_all = jax.lax.sort((ckey, idx), num_keys=1)
-            grp = jax.lax.dynamic_slice(ck_s, (0,), (U,))
-            ti = jax.lax.dynamic_slice(ti_all, (0,), (U,))
-            live = grp < INT32_MAX
+
+            def extract(_):
+                ckey = jnp.where(resolved, INT32_MAX, rank)
+                ck_s, ti_all = jax.lax.sort((ckey, idx), num_keys=1)
+                grp0 = jax.lax.dynamic_slice(ck_s, (0,), (U,))
+                return (jax.lax.dynamic_slice(ti_all, (0,), (U,)),
+                        grp0, grp0 < INT32_MAX)
+
+            ti, grp, live = jax.lax.cond(
+                comp_ran, lambda _: (ti_c, rank_c, live_c), extract,
+                operand=None)
             tic = jnp.clip(ti, 0, m - 1)
 
             def sh(off):
@@ -242,26 +252,33 @@ def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int):
             resolved = resolved.at[at].set(sing, mode="drop")
             u_new = jnp.sum((live_s & ~sing).astype(jnp.int32)) \
                 .astype(jnp.int32)
+            # carry the refined slice forward: next compacted round reuses
+            # it instead of re-extracting with a full-m sort
             return (mid_rank_text, rank, sa, lv, resolved, u_new,
-                    jnp.ones((), bool))
+                    jnp.ones((), bool), ti_s, full_rank_u,
+                    live_s & ~sing)
 
         def do_skip(args):
             rank, sa, lv, resolved = args
             return (rank, rank, sa, lv, resolved, jnp.int32(0),
-                    jnp.zeros((), bool))
+                    jnp.zeros((), bool), ti_c, rank_c, live_c)
 
         branch = jnp.where(u == 0, 0, jnp.where(u <= U, 2, 1))
-        mid_rank, full_rank, sa, lv, resolved, u, comp_now = jax.lax.switch(
+        (mid_rank, full_rank, sa, lv, resolved, u, comp_now,
+         ti_c, rank_c, live_c) = jax.lax.switch(
             branch, [do_skip, do_full, do_comp], (rank, sa, lv, resolved))
         comp_ran = comp_ran | comp_now
         hist = hist.at[k - SEED_LEVEL + 1].set(mid_rank)
         hist = hist.at[k - SEED_LEVEL + 2].set(full_rank)
-        return (full_rank, sa, hist, lv, resolved, u, comp_ran), None
+        return (full_rank, sa, hist, lv, resolved, u, comp_ran,
+                ti_c, rank_c, live_c), None
 
     sa0 = jnp.zeros(m, jnp.int32)
-    (rank, sa, hist, split_lv, resolved, u, comp_ran), _ = jax.lax.scan(
+    (rank, sa, hist, split_lv, resolved, u, comp_ran, _tc, _rc,
+     _lc), _ = jax.lax.scan(
         round_k, (rank, sa0, hist, split_lv, resolved, u0,
-                  jnp.zeros((), bool)),
+                  jnp.zeros((), bool), jnp.zeros(U, jnp.int32),
+                  jnp.zeros(U, jnp.int32), jnp.zeros(U, bool)),
         jnp.asarray(ks, dtype=jnp.int32))
 
     # sa: the last FULL round's order is stale wherever a compacted round

@@ -59,11 +59,53 @@ def _joint_sa(b: jnp.ndarray, sp: jnp.ndarray, m: int):
     return joint_suffix_array(b, sp, m)
 
 
-@functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
-def _build_joint_device(x_u8, sx_u8, n, sn, sep_base,
-                        n_pad: int, sn_pad: int):
-    """Device-side joint-string construction: uploads stay uint8 (the host
-    link runs at tens of MB/s).
+# --- 2-bit ACGT transport packing -----------------------------------------
+#
+# The tunnel host link measures ~22 MB/s up / ~7 MB/s down, so O(sn) bytes
+# on the wire are wall-clock. Genomic collections are almost entirely
+# A/C/G/T: the host packs 4 chars/byte and ships the rare non-ACGT bytes
+# (document separators, the reference's alphabet-augmentation tail,
+# sentinels) as a tiny (position, value) exception list; the device unpacks
+# with pure VPU shifts — no gathers.
+
+_PACK_CODE = np.full(256, 255, np.uint8)
+for _i, _ch in enumerate(b"ACGT"):
+    _PACK_CODE[_ch] = _i
+
+
+def _pack2_host(arr: np.ndarray, valid_len: int):
+    """2-bit-pack ``arr`` (length already padded to its jit bucket).
+
+    Only the first ``valid_len`` entries are inspected — pad bytes unpack
+    as 'A' and are overwritten by the pad logic on device. Returns
+    (packed_u8, exc_pos_i32, exc_val_u8), or None when exceptions exceed
+    ~1.5% of the valid prefix (raw upload is cheaper then)."""
+    codes = _PACK_CODE[arr[:valid_len]]
+    exc = np.flatnonzero(codes == 255)
+    if len(exc) > max(1024, valid_len >> 6):
+        return None
+    if len(exc):
+        codes[exc] = 0
+    L4 = -(-len(arr) // 4)
+    c = np.zeros(L4 * 4, np.uint8)
+    c[:valid_len] = codes
+    c = c.reshape(L4, 4)
+    packed = c[:, 0] | (c[:, 1] << 2) | (c[:, 2] << 4) | (c[:, 3] << 6)
+    return packed, exc.astype(np.int32), arr[exc]
+
+
+def _unpack2(q: jnp.ndarray, out_pad: int) -> jnp.ndarray:
+    """packed uint8[ceil(out_pad/4)] -> ACGT bytes uint8[out_pad]."""
+    c = jnp.stack([q & 3, (q >> 2) & 3, (q >> 4) & 3, (q >> 6) & 3],
+                  axis=1).reshape(-1)[:out_pad].astype(jnp.int32)
+    # branch-free code->byte: 65 + 2c + 2*[c>=2] + 11*[c==3] = A/C/G/T
+    return (65 + 2 * c + 2 * (c >= 2).astype(jnp.int32)
+            + 11 * (c == 3).astype(jnp.int32)).astype(jnp.uint8)
+
+
+def _build_joint_core(x_u8, sx_u8, n, sn, sep_base, n_pad: int, sn_pad: int):
+    """Joint-string construction body (shared by the raw and packed entry
+    points).
 
     sep_base = number of separators before this block (global numbering).
 
@@ -88,6 +130,27 @@ def _build_joint_device(x_u8, sx_u8, n, sn, sep_base,
                      jnp.where(is_sep, sep_base + sep_rank + 1, 0)
                      ).astype(jnp.int32)
     return (jnp.concatenate([bx, bsx]), jnp.concatenate([spx, spsx]))
+
+
+@functools.partial(jax.jit, static_argnames=("n_pad", "sn_pad"))
+def _build_joint_device(x_u8, sx_u8, n, sn, sep_base,
+                        n_pad: int, sn_pad: int):
+    """Raw-byte entry point (non-ACGT-heavy inputs)."""
+    return _build_joint_core(x_u8, sx_u8, n, sn, sep_base, n_pad, sn_pad)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("n_pad", "sn_pad", "e_pad"))
+def _build_joint_device_packed(xq, sxq, exc_pos, exc_val, n, sn, sep_base,
+                               n_pad: int, sn_pad: int, e_pad: int):
+    """2-bit-packed entry point: unpack both parts, restore the non-ACGT
+    exceptions (positions are global over the concatenated [x | sx] image;
+    pad slots carry an out-of-range position and drop), then run the
+    shared body."""
+    cat = jnp.concatenate([_unpack2(xq, n_pad), _unpack2(sxq, sn_pad)])
+    cat = cat.at[exc_pos].set(exc_val, mode="drop")
+    return _build_joint_core(cat[:n_pad], cat[n_pad:], n, sn, sep_base,
+                             n_pad, sn_pad)
 
 
 @functools.partial(jax.jit, static_argnames=("m", "n_pad"))
@@ -447,9 +510,12 @@ def _stage_timer():
     return mark
 
 
-def _scan_prewarm(n_pad: int, sn_pad: int, m: int):
+def _scan_prewarm(n_pad: int, sn_pad: int, m: int,
+                  pack_e_pad: int | None = None):
     """Wave A: every scan program whose shapes are known from (n, sn)
-    alone, fired concurrently at entry (utils/prewarm rationale)."""
+    alone, fired concurrently at entry (utils/prewarm rationale).
+    ``pack_e_pad`` selects the 2-bit-packed build program (its exception
+    bucket) instead of the raw-byte one."""
     from ..utils import prewarm
     from .joint_sa import joint_suffix_array
     w = prewarm.Wave()
@@ -458,8 +524,14 @@ def _scan_prewarm(n_pad: int, sn_pad: int, m: int):
     S, i32, u8 = prewarm.sds, jnp.int32, jnp.uint8
     sc = S((), i32)
     im = S((m,), i32)
-    w.add("build", _build_joint_device, S((n_pad,), u8), S((sn_pad,), u8),
-          sc, sc, sc, n_pad=n_pad, sn_pad=sn_pad)
+    if pack_e_pad is not None:
+        w.add("build", _build_joint_device_packed,
+              S((-(-n_pad // 4),), u8), S((-(-sn_pad // 4),), u8),
+              S((pack_e_pad,), i32), S((pack_e_pad,), u8),
+              sc, sc, sc, n_pad=n_pad, sn_pad=sn_pad, e_pad=pack_e_pad)
+    else:
+        w.add("build", _build_joint_device, S((n_pad,), u8),
+              S((sn_pad,), u8), sc, sc, sc, n_pad=n_pad, sn_pad=sn_pad)
     w.add("jsa", joint_suffix_array, S((m,), u8), im, m=m)
     w.add("irr", _irreducible_slots, S((m,), u8), im, im, im, im,
           sc, sc, m=m, n_pad=n_pad)
@@ -485,18 +557,35 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     if sn_pad == sn and (sn == 0 or sx[-1] != SEPARATOR):
         sn_pad = bucket_size(sn + 1) if bucketed else sn + 1
     m = n_pad + sn_pad
-    wave = _scan_prewarm(n_pad, sn_pad, m)
     n_t = _put_i32(n)
     sn_t = _put_i32(sn)
     x_u8 = np.zeros(n_pad, np.uint8)
     x_u8[:n] = x_aug
     sx_u8 = np.zeros(sn_pad, np.uint8)
     sx_u8[:sn] = sx
-    x_dev = _put(x_u8)
-    wave.ready("build")
-    b, sp = _build_joint_device(x_dev, _put(sx_u8),
-                                n_t, sn_t, _put_i32(0),
-                                n_pad, sn_pad)
+    px = _pack2_host(x_u8, n)
+    psx = _pack2_host(sx_u8, sn)
+    if px is not None and psx is not None:
+        exc_pos = np.concatenate([px[1], psx[1] + np.int32(n_pad)])
+        exc_val = np.concatenate([px[2], psx[2]])
+        e_pad = _pow2_pad(len(exc_pos) + 1)
+        ep = np.full(e_pad, n_pad + sn_pad, np.int32)  # pads drop (OOB)
+        ep[:len(exc_pos)] = exc_pos
+        ev = np.zeros(e_pad, np.uint8)
+        ev[:len(exc_val)] = exc_val
+        wave = _scan_prewarm(n_pad, sn_pad, m, pack_e_pad=e_pad)
+        wave.ready("build")
+        b, sp = _build_joint_device_packed(
+            _put(px[0]), _put(psx[0]), _put(ep), _put(ev),
+            n_t, sn_t, _put_i32(0), n_pad, sn_pad, e_pad)
+        x_dev = None   # consumers gather ref bytes from b's prefix
+    else:
+        wave = _scan_prewarm(n_pad, sn_pad, m)
+        x_dev = _put(x_u8)
+        wave.ready("build")
+        b, sp = _build_joint_device(x_dev, _put(sx_u8),
+                                    n_t, sn_t, _put_i32(0),
+                                    n_pad, sn_pad)
     mark("upload+build_joint", b)
 
     wave.ready("jsa")
@@ -614,10 +703,13 @@ class DeviceHeadsResult:
 
 @functools.partial(jax.jit, static_argnames=("h_pad", "n_pad"))
 def _finish_for_merge(t, pos, length, smaller, char, ref_sa, ref_isa,
-                      x_dev, n, h, h_pad: int, n_pad: int):
+                      b_joint, n, h, h_pad: int, n_pad: int):
     """Zero-fill pads (the merge kernels assume zeroed pad regions, matching
     merge_heads_numpy's np.full fill) and compute the reference BWT on
-    device (ref CMS-BWT-functions.cpp:294-297)."""
+    device (ref CMS-BWT-functions.cpp:294-297). ``b_joint`` is the joint
+    byte image — its [0, n) prefix IS the reference text (ms_dense never
+    keeps a separate x upload on the packed path)."""
+    x_dev = jax.lax.dynamic_slice(b_joint, (0,), (n_pad,))
     def hpad(a, fill):
         src = a.shape[0]
         if src < h_pad:
@@ -681,7 +773,8 @@ def ms_dense_heads_on_device(x_aug: np.ndarray, sx: np.ndarray,
         cwave.add("finish", _finish_for_merge, S((ch_pad,), i32),
                   S((ch_pad,), i32), S((ch_pad,), i32),
                   S((ch_pad,), jnp.bool_), S((ch_pad,), i32),
-                  S((n_pad,), i32), S((n_pad,), i32), S((n_pad,), u8),
+                  S((n_pad,), i32), S((n_pad,), i32),
+                  S((core["m"],), u8),
                   S((), i32), S((), i32), h_pad=h_pad, n_pad=n_pad)
     cwave.ready("compact")
     out_t, out_pos, out_len, out_sml, out_chr = _compact_heads_raw(
@@ -692,7 +785,7 @@ def ms_dense_heads_on_device(x_aug: np.ndarray, sx: np.ndarray,
     (t, pos_h, len_h, sml_h, chr_h, ref_sa, ref_isa,
      ref_bwt) = _finish_for_merge(
         out_t, out_pos, out_len, out_sml, out_chr,
-        core["ref_sa"], core["ref_isa"], core["x_dev"], core["n_t"],
+        core["ref_sa"], core["ref_isa"], core["b"], core["n_t"],
         _put_i32(h), h_pad, core["n_pad"])
     mark("finish_for_merge", t)
     return DeviceHeadsResult(
