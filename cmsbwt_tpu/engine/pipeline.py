@@ -358,14 +358,17 @@ def compute_bwt(cfg: Config) -> dict:
                       1 << 12)
             block_chars = min(block_chars, cap) if block_chars else cap
         # device-resident fast path: scan result stays on the chip and feeds
-        # the device merge directly — nothing O(n + H) crosses the host link
-        # (checkpointing and blocked modes need host arrays, so they keep
-        # the download path)
+        # the device merge directly — nothing O(n + H) crosses the host link.
+        # Covers the unblocked scan AND the single-device blocked scan
+        # (ms_dense_heads_blocked_on_device); checkpointing, sn_big, and
+        # the multi-device parallel mode still need host arrays
         device_resident = (
             _resolve_merge_backend(cfg.merge_backend) == "device"
-            and not block_chars and not cfg.checkpoint_dir and not sn_big)
+            and not cfg.checkpoint_dir and not sn_big
+            and not (block_chars and cfg.dense_parallel))
         if device_resident:
-            from ..ops.ms_dense import ms_dense_heads_on_device
+            from ..ops.ms_dense import (ms_dense_heads_blocked_on_device,
+                                        ms_dense_heads_on_device)
             rq = cfg.rle and cfg.replicate_reference_rle_quirk
             # fire the merge engine's prewarm wave the moment the scan
             # knows the head count, overlapping those compiles with the
@@ -377,8 +380,14 @@ def compute_bwt(cfg: Config) -> dict:
                 mw["wave"] = merge_prewarm(h_pad, n_pad, rq)
 
             with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
-                ddres = ms_dense_heads_on_device(x_aug, coll.sx,
-                                                 merge_hook=_merge_hook)
+                if block_chars:
+                    ddres = ms_dense_heads_blocked_on_device(
+                        x_aug, coll.sx, block_chars=block_chars,
+                        ctx_chars=cfg.dense_ctx_chars,
+                        merge_hook=_merge_hook)
+                else:
+                    ddres = ms_dense_heads_on_device(
+                        x_aug, coll.sx, merge_hook=_merge_hook)
             with timer.phase("merge_device"):
                 from .device_merge import merge_heads_device_resident
                 run_len, run_char, counter = merge_heads_device_resident(

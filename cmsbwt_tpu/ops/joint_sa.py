@@ -41,12 +41,20 @@ import jax.numpy as jnp
 
 from ..index.device import n_levels
 
-SEED_LEVEL = 3  # the seed sort resolves windows of 2^3 = 8 bytes
+SEED_LEVEL = 3        # byte seed resolves windows of 2^3 = 8 bytes
+WIDE_SEED_LEVEL = 5   # 4-bit coarse-code seed resolves 2^5 = 32 symbols
 INT32_MAX = 2**31 - 1
 
 
-@functools.partial(jax.jit, static_argnames=("m",))
-def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int):
+def seed_level_of(packs) -> int:
+    """The seed window level is carried by the pack layout: one int64 row
+    = byte-8 seed, two rows = 4-bit 32-symbol seed."""
+    return SEED_LEVEL if packs.shape[0] == 1 else WIDE_SEED_LEVEL
+
+
+@functools.partial(jax.jit, static_argnames=("m", "wide"))
+def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int,
+                       wide: bool = False):
     """Suffix sort of the joint string.
 
     The joint symbol at i IS the pair (b[i], sp[i]) ordered
@@ -87,43 +95,102 @@ def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int):
     sort passes per round). Everything stays inside this one jit: the
     branch is a lax.switch, shapes are static.
     """
+    sl = WIDE_SEED_LEVEL if wide else SEED_LEVEL
     levels = n_levels(m)
     idx = jnp.arange(m, dtype=jnp.int32)
     U = min(m, max(64, m // 16))  # compacted-round capacity (static)
 
-    with jax.enable_x64(True):
-        # --- first special (separator/pad) at-or-after each position ---
-        sp64 = sp.astype(jnp.int64)
-        BIGV = jnp.int64(1) << 62
-        packed = jnp.where(sp64 > 0,
-                           (idx.astype(jnp.int64) << 32) | sp64, BIGV)
-        # flip+forward+flip: reverse=True cumulative lowering is ~8x
-        # slower to compile on this backend (device_merge._rev_fill_min)
-        nxt = jax.lax.cummin(packed[::-1])[::-1]
-        d = jnp.where(nxt < BIGV, (nxt >> 32) - idx.astype(jnp.int64),
-                      jnp.int64(8))  # distance to first special (clamped)
-        v = jnp.where(d < 8, nxt & jnp.int64(0xFFFFFFFF), 0).astype(jnp.int32)
-        # --- seed key 1: 8 packed bytes, MASKED after the first special ---
-        # The true symbol comparison is decided no later than the first
-        # special (instances are pairwise distinct), so bytes past it are
-        # irrelevant — and must be zeroed, or the byte order would consult
-        # them before the instance rank (key 2).
-        # byte-wide slices (the uint64 form read 8x the HBM bytes per pass)
-        bb = jnp.concatenate([b, jnp.zeros(8, jnp.uint8)])
-        d32 = d.astype(jnp.int32)
-        p8 = jnp.zeros(m, jnp.uint64)
-        for k in range(8):
-            bk = jax.lax.dynamic_slice(bb, (k,), (m,))
-            bk = jnp.where(jnp.int32(k) <= d32, bk, jnp.uint8(0))
-            p8 = (p8 << jnp.uint64(8)) | bk.astype(jnp.uint64)
-        pack8 = jax.lax.bitcast_convert_type(p8, jnp.int64)
-        key = jax.lax.bitcast_convert_type(
-            p8 ^ jnp.uint64(1 << 63), jnp.int64)  # order-preserving u64->i64
-        k_s, v_s, ord_s = jax.lax.sort((key, v, idx), num_keys=2)
-        ch_b = jnp.concatenate(
-            [jnp.ones(1, bool),
-             (k_s[1:] != k_s[:-1]) | (v_s[1:] != v_s[:-1])])
-    split_lv = jnp.where(ch_b, jnp.int32(SEED_LEVEL), 0)
+    if wide:
+        assert m < (1 << 26), "wide seed packs (idx,byte,sp) in 60 bits"
+        with jax.enable_x64(True):
+            # --- 4-bit coarse symbol codes: ACGT -> odd 1/3/5/7, any
+            # other byte ("stop") -> even 2*c with c = #ACGT bytes below
+            # it. Coarse codes order a stop against every ACGT symbol
+            # exactly; two stops tying on position+coarse-code resolve
+            # via the v key (actual byte, then instance rank) — exact
+            # because the caller guarantees every non-ACGT real byte
+            # occurs at most once globally and sep/pad instances are
+            # pairwise distinct (ms_dense._dense_core's wide_ok gate).
+            bi32 = b.astype(jnp.int32)
+            is_acgt = (b == 65) | (b == 67) | (b == 71) | (b == 84)
+            code = jnp.where(
+                is_acgt,
+                2 * ((bi32 >= 67).astype(jnp.int32)
+                     + (bi32 >= 71) + (bi32 >= 84)) + 1,
+                2 * ((bi32 > 65).astype(jnp.int32)
+                     + (bi32 > 67) + (bi32 > 71) + (bi32 > 84))
+            ).astype(jnp.uint8)
+            # first stop at-or-after each position, payload (byte, sp)
+            idx64 = idx.astype(jnp.int64)
+            BIGV = jnp.int64(1) << 62
+            stop_val = jnp.where(
+                ~is_acgt,
+                (idx64 << 34) | (b.astype(jnp.int64) << 26)
+                | sp.astype(jnp.int64), BIGV)
+            nxt = jax.lax.cummin(stop_val[::-1])[::-1]
+            d = jnp.where(nxt < BIGV, (nxt >> 34) - idx64, jnp.int64(32))
+            v = jnp.where(d < 32, nxt & ((jnp.int64(1) << 34) - 1),
+                          jnp.int64(0))
+            # --- two 16-nibble keys, masked after the first stop ---
+            cc = jnp.concatenate([code, jnp.zeros(32, jnp.uint8)])
+            d32 = d.astype(jnp.int32)
+            p1 = jnp.zeros(m, jnp.uint64)
+            p2 = jnp.zeros(m, jnp.uint64)
+            for k in range(16):
+                ck = jax.lax.dynamic_slice(cc, (k,), (m,))
+                ck = jnp.where(jnp.int32(k) <= d32, ck, jnp.uint8(0))
+                p1 = (p1 << jnp.uint64(4)) | ck.astype(jnp.uint64)
+            for k in range(16, 32):
+                ck = jax.lax.dynamic_slice(cc, (k,), (m,))
+                ck = jnp.where(jnp.int32(k) <= d32, ck, jnp.uint8(0))
+                p2 = (p2 << jnp.uint64(4)) | ck.astype(jnp.uint64)
+            sgn = jnp.uint64(1) << 63
+            key1 = jax.lax.bitcast_convert_type(p1 ^ sgn, jnp.int64)
+            key2 = jax.lax.bitcast_convert_type(p2 ^ sgn, jnp.int64)
+            packs = jnp.stack([key1, key2])
+            k1s, k2s_, v_s, ord_s = jax.lax.sort((key1, key2, v, idx),
+                                                 num_keys=3)
+            ch_b = jnp.concatenate(
+                [jnp.ones(1, bool),
+                 (k1s[1:] != k1s[:-1]) | (k2s_[1:] != k2s_[:-1])
+                 | (v_s[1:] != v_s[:-1])])
+    else:
+        with jax.enable_x64(True):
+            # --- first special (separator/pad) at-or-after each position
+            sp64 = sp.astype(jnp.int64)
+            BIGV = jnp.int64(1) << 62
+            packed = jnp.where(sp64 > 0,
+                               (idx.astype(jnp.int64) << 32) | sp64, BIGV)
+            # flip+forward+flip: reverse=True cumulative lowering is ~8x
+            # slower to compile (device_merge._rev_fill_min)
+            nxt = jax.lax.cummin(packed[::-1])[::-1]
+            d = jnp.where(nxt < BIGV, (nxt >> 32) - idx.astype(jnp.int64),
+                          jnp.int64(8))  # distance to first special
+            v = jnp.where(d < 8, nxt & jnp.int64(0xFFFFFFFF),
+                          0).astype(jnp.int32)
+            # --- seed key 1: 8 packed bytes, MASKED after the first
+            # special. The true symbol comparison is decided no later
+            # than the first special (instances are pairwise distinct),
+            # so bytes past it are irrelevant — and must be zeroed, or
+            # the byte order would consult them before the instance rank
+            # (key 2). Byte-wide slices (the uint64 form read 8x the HBM
+            # bytes per pass).
+            bb = jnp.concatenate([b, jnp.zeros(8, jnp.uint8)])
+            d32 = d.astype(jnp.int32)
+            p8 = jnp.zeros(m, jnp.uint64)
+            for k in range(8):
+                bk = jax.lax.dynamic_slice(bb, (k,), (m,))
+                bk = jnp.where(jnp.int32(k) <= d32, bk, jnp.uint8(0))
+                p8 = (p8 << jnp.uint64(8)) | bk.astype(jnp.uint64)
+            pack8 = jax.lax.bitcast_convert_type(p8, jnp.int64)
+            packs = pack8[None, :]
+            key = jax.lax.bitcast_convert_type(
+                p8 ^ jnp.uint64(1 << 63), jnp.int64)  # order-keeping cast
+            k_s, v_s, ord_s = jax.lax.sort((key, v, idx), num_keys=2)
+            ch_b = jnp.concatenate(
+                [jnp.ones(1, bool),
+                 (k_s[1:] != k_s[:-1]) | (v_s[1:] != v_s[:-1])])
+    split_lv = jnp.where(ch_b, jnp.int32(sl), 0)
     # position-ranks + per-element resolved flag (singleton group)
     seed_rank_s = jax.lax.cummax(jnp.where(ch_b, idx, -1))
     sing_s = ch_b & jnp.concatenate([ch_b[1:], jnp.ones(1, bool)])
@@ -139,8 +206,8 @@ def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int):
     # about half the passes. Both refined rank rows (window 2w and 4w) are
     # recovered from the ONE sorted order, so the LCP lift still has every
     # level's rank history.
-    ks = list(range(SEED_LEVEL, levels - 1, 2))
-    n_hist = max((ks[-1] - SEED_LEVEL + 2) + 1 if ks else 1, 1)
+    ks = list(range(sl, levels - 1, 2))
+    n_hist = max((ks[-1] - sl + 2) + 1 if ks else 1, 1)
     hist = jnp.zeros((n_hist, m), jnp.int32).at[0].set(rank)
 
     def shifted(r, shift):
@@ -268,8 +335,8 @@ def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int):
          ti_c, rank_c, live_c) = jax.lax.switch(
             branch, [do_skip, do_full, do_comp], (rank, sa, lv, resolved))
         comp_ran = comp_ran | comp_now
-        hist = hist.at[k - SEED_LEVEL + 1].set(mid_rank)
-        hist = hist.at[k - SEED_LEVEL + 2].set(full_rank)
+        hist = hist.at[k - sl + 1].set(mid_rank)
+        hist = hist.at[k - sl + 2].set(full_rank)
         return (full_rank, sa, hist, lv, resolved, u, comp_ran,
                 ti_c, rank_c, live_c), None
 
@@ -290,7 +357,7 @@ def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int):
 
     sa = jax.lax.cond(comp_ran | (u0 == 0), invert, lambda a: a, sa)
     k_star = jnp.max(split_lv)
-    return sa, rank, hist, pack8, k_star, split_lv
+    return sa, rank, hist, packs, k_star, split_lv
 
 
 def byte8_lcp(pa, pb):
@@ -312,18 +379,51 @@ def byte8_lcp(pa, pb):
     return out
 
 
-def lift_pairs(hist, pack8, ai, bi, lv, m: int):
+def nib16_lcp(pa, pb):
+    """Common SYMBOL-prefix length (<= 16) of two masked 16-nibble coarse
+    packs (wide seed). A nibble match counts only when both are ODD
+    (real ACGT symbols): even nibbles are stops, and two distinct
+    suffixes never share a stop symbol (unique bytes / distinct
+    instances), so a stop always ends the match."""
+    with jax.enable_x64(True):
+        out = jnp.zeros(pa.shape, jnp.int32)
+        eq_so_far = jnp.ones(pa.shape, bool)
+        for t in range(16):
+            sh = 60 - 4 * t
+            na = (pa >> sh) & jnp.int64(0xF)
+            nb = (pb >> sh) & jnp.int64(0xF)
+            eq_so_far = eq_so_far & (na == nb) & ((na & 1) == 1)
+            out = out + eq_so_far.astype(jnp.int32)
+    return out
+
+
+def pack_lcp_at(packs, ai, bi, m: int):
+    """Sub-seed-window lcp of suffix pair (ai, bi) from the seed packs:
+    byte-8 compare for the narrow layout, two 16-nibble compares for the
+    wide one (the second consulted only when the first fully matches)."""
+    def g(r, at):
+        return packs[r][jnp.clip(at, 0, m - 1)]
+
+    if packs.shape[0] == 1:
+        return byte8_lcp(g(0, ai), g(0, bi))
+    r0 = nib16_lcp(g(0, ai), g(0, bi))
+    r1 = nib16_lcp(g(1, ai), g(1, bi))
+    return r0 + jnp.where(r0 == 16, r1, 0)
+
+
+def lift_pairs(hist, packs, ai, bi, lv, m: int):
     """lcp(ai, bi) for SA-adjacent index pairs by binary lifting.
 
     ``lv`` is each pair's boundary split level (see joint_suffix_array):
     the lift starts at h = 2^(lv-1) — guaranteed matched — and descends
-    the rank history to level 3; the final sub-8 bits come from one
-    byte-compare of the seed window packs at the resolved offset. Tests at
-    levels above a pair's own range are exact (they simply fail), so the
-    shared loop bound is max(lv) - 2. Invalid entries carry ai >= m."""
+    the rank history to the seed level; the final sub-window bits come
+    from the seed-pack compare at the resolved offset. Tests at levels
+    above a pair's own range are exact (they simply fail), so the shared
+    loop bound is max(lv) - 2. Invalid entries carry ai >= m."""
+    sl = seed_level_of(packs)
     valid = (ai < m) & (bi < m)
     lmax = jnp.max(jnp.where(valid, lv, 0))
-    h = jnp.where(valid & (lv > SEED_LEVEL),
+    h = jnp.where(valid & (lv > sl),
                   jnp.int32(1) << jnp.maximum(lv - 1, 0), 0)
 
     def gath(arr, at):
@@ -332,7 +432,7 @@ def lift_pairs(hist, pack8, ai, bi, lv, m: int):
     def body(i, h):
         k = lmax - 2 - i
         rk = jax.lax.dynamic_index_in_dim(
-            hist, jnp.maximum(k - SEED_LEVEL, 0), 0, keepdims=False)
+            hist, jnp.maximum(k - sl, 0), 0, keepdims=False)
         va = ai + h
         vb = bi + h
         ok = valid & (va < m) & (vb < m)
@@ -340,6 +440,6 @@ def lift_pairs(hist, pack8, ai, bi, lv, m: int):
         return h + jnp.where(eq, jnp.int32(1) << k, 0)
 
     h = jax.lax.fori_loop(
-        0, jnp.maximum(lmax - 2 - SEED_LEVEL + 1, 0), body, h)
-    rem = byte8_lcp(gath(pack8, ai + h), gath(pack8, bi + h))
+        0, jnp.maximum(lmax - 2 - sl + 1, 0), body, h)
+    rem = pack_lcp_at(packs, ai + h, bi + h, m)
     return h + jnp.where(valid, rem, 0)

@@ -52,11 +52,14 @@ LV_BINS = 34               # split-level histogram bins (levels < 32 + spill)
 from ..utils.xfer import get as _get, put as _put, put_i32 as _put_i32
 
 
-def _joint_sa(b: jnp.ndarray, sp: jnp.ndarray, m: int):
-    """Window-8–seeded doubling sort (ops/joint_sa.py); returns
-    (sa, isa, hist, pack8, k_star, split_lv)."""
+def _joint_sa(b: jnp.ndarray, sp: jnp.ndarray, m: int,
+              wide: bool = False):
+    """Seeded doubling sort (ops/joint_sa.py); returns
+    (sa, isa, hist, packs, k_star, split_lv). ``wide`` selects the
+    32-symbol 4-bit seed (requires the wide_ok precondition — see
+    _dense_core)."""
     from .joint_sa import joint_suffix_array
-    return joint_suffix_array(b, sp, m)
+    return joint_suffix_array(b, sp, m, wide)
 
 
 # --- 2-bit ACGT transport packing -----------------------------------------
@@ -202,7 +205,7 @@ def _irreducible_slots(b, sp, sa, isa, split_lv, n, sn, m: int,
 
 
 @functools.partial(jax.jit, static_argnames=("m", "rho_pad"))
-def _lift_and_fill(hist, pack8, ai_all, bi_all, lv_all, isa, m: int,
+def _lift_and_fill(hist, packs, ai_all, bi_all, lv_all, isa, m: int,
                    rho_pad: int):
     """Lift lcp(ai, bi) for the first rho_pad compacted pairs, fill PLCP
     for all text positions, and return the adjacent joint LCP in SA order.
@@ -215,7 +218,7 @@ def _lift_and_fill(hist, pack8, ai_all, bi_all, lv_all, isa, m: int,
     ai = jax.lax.dynamic_slice(ai_all, (0,), (rho_pad,))
     bi = jax.lax.dynamic_slice(bi_all, (0,), (rho_pad,))
     lv = jax.lax.dynamic_slice(lv_all, (0,), (rho_pad,))
-    h = lift_pairs(hist, pack8, ai, bi, lv, m)
+    h = lift_pairs(hist, packs, ai, bi, lv, m)
     return _fill_ell(h, ai, isa, m, rho_pad)
 
 
@@ -236,33 +239,34 @@ def _fill_ell(h, ai, isa, m: int, rho_pad: int):
     return ell
 
 
-@functools.partial(jax.jit, static_argnames=("m", "rho_pad"))
-def _lift_start(ai_all, bi_all, lv_all, m: int, rho_pad: int):
+@functools.partial(jax.jit, static_argnames=("m", "rho_pad", "seed_level"))
+def _lift_start(ai_all, bi_all, lv_all, m: int, rho_pad: int,
+                seed_level: int = 3):
     """Slice the pair prefix and seed h = 2^(lv-1) (guaranteed matched —
     the pair's boundary split at level lv, so lcp >= 2^(lv-1))."""
-    from .joint_sa import SEED_LEVEL
     ai = jax.lax.dynamic_slice(ai_all, (0,), (rho_pad,))
     bi = jax.lax.dynamic_slice(bi_all, (0,), (rho_pad,))
     lv = jax.lax.dynamic_slice(lv_all, (0,), (rho_pad,))
     valid = (ai < m) & (bi < m)
-    h = jnp.where(valid & (lv > SEED_LEVEL),
+    h = jnp.where(valid & (lv > seed_level),
                   jnp.int32(1) << jnp.maximum(lv - 1, 0), 0)
     return ai, bi, h
 
 
-@functools.partial(jax.jit, static_argnames=("m", "c_pad"))
-def _lift_level_step(h, ai, bi, hist, k, m: int, c_pad: int):
+@functools.partial(jax.jit,
+                   static_argnames=("m", "c_pad", "seed_level"))
+def _lift_level_step(h, ai, bi, hist, k, m: int, c_pad: int,
+                     seed_level: int = 3):
     """One descent level for the first c_pad pairs (those with lv >= k+2;
     the caller sizes c_pad from the level histogram — pairs are sorted by
     lv descending, so the active set is a prefix). Gathers scale with the
     ACTIVE pair count, not rho: at typical SNP rates most pairs have small
     lcps and the deep levels run on tiny prefixes."""
-    from .joint_sa import SEED_LEVEL
     hc = jax.lax.dynamic_slice(h, (0,), (c_pad,))
     ac = jax.lax.dynamic_slice(ai, (0,), (c_pad,))
     bc = jax.lax.dynamic_slice(bi, (0,), (c_pad,))
     rk = jax.lax.dynamic_index_in_dim(
-        hist, jnp.maximum(k - SEED_LEVEL, 0), 0, keepdims=False)
+        hist, jnp.maximum(k - seed_level, 0), 0, keepdims=False)
     va = ac + hc
     vb = bc + hc
     ok = (ac < m) & (bc < m) & (va < m) & (vb < m)
@@ -272,32 +276,31 @@ def _lift_level_step(h, ai, bi, hist, k, m: int, c_pad: int):
 
 
 @functools.partial(jax.jit, static_argnames=("m", "rho_pad"))
-def _lift_bytes_fill(h, ai, bi, pack8, isa, m: int, rho_pad: int):
-    """Resolve the sub-8 lcp bits with one byte-compare of the seed window
+def _lift_bytes_fill(h, ai, bi, packs, isa, m: int, rho_pad: int):
+    """Resolve the sub-seed-window lcp bits with a compare of the seed
     packs, then fill (the orchestrated path's tail)."""
-    from .joint_sa import byte8_lcp
+    from .joint_sa import pack_lcp_at
     valid = (ai < m) & (bi < m)
-    ga = pack8[jnp.clip(ai + h, 0, m - 1)]
-    gb = pack8[jnp.clip(bi + h, 0, m - 1)]
-    h = h + jnp.where(valid, byte8_lcp(ga, gb), 0)
+    h = h + jnp.where(valid, pack_lcp_at(packs, ai + h, bi + h, m), 0)
     return _fill_ell(h, ai, isa, m, rho_pad)
 
 
-def _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all, isa,
+def _lift_orchestrated(hist, packs, ai_all, bi_all, lv_all, isa,
                        rho_stats, m: int, rho_pad: int):
     """Host-orchestrated leveled lift: one small dispatch per hist level,
     each over the bucketed prefix of pairs still in range (lv >= k+2).
     rho_stats = host copy of the _irreducible_slots stats vector."""
     from ..utils import prewarm
     from ..utils.jaxcache import bucket_size
-    from .joint_sa import SEED_LEVEL
+    from .joint_sa import seed_level_of
+    sl = seed_level_of(packs)
     hist_lv = rho_stats[1:]
     live = np.nonzero(hist_lv)[0]
     lmax = int(live.max()) if len(live) else 0
     # (k, c_pad) schedule first, so every level program compiles
     # concurrently before the serial dispatch chain starts
     sched = []
-    for k in range(lmax - 2, SEED_LEVEL - 1, -1):
+    for k in range(lmax - 2, sl - 1, -1):
         cnt = int(hist_lv[k + 2:].sum())
         if cnt:
             sched.append((k, min(bucket_size(cnt), rho_pad)))
@@ -307,19 +310,23 @@ def _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all, isa,
         im = S((m,), i32)
         ir = S((rho_pad,), i32)
         hv = S(tuple(hist.shape), jnp.int32)
-        wave.add("start", _lift_start, im, im, im, m=m, rho_pad=rho_pad)
+        wave.add("start", _lift_start, im, im, im, m=m, rho_pad=rho_pad,
+                 seed_level=sl)
         for c_pad in sorted({c for _, c in sched}):
             wave.add(f"lv{c_pad}", _lift_level_step, ir, ir, ir, hv,
-                     S((), i32), m=m, c_pad=c_pad)
-        wave.add("fill", _lift_bytes_fill, ir, ir, ir, S((m,), jnp.int64),
+                     S((), i32), m=m, c_pad=c_pad, seed_level=sl)
+        wave.add("fill", _lift_bytes_fill, ir, ir, ir,
+                 S(tuple(packs.shape), jnp.int64),
                  im, x64=True, m=m, rho_pad=rho_pad)
     wave.ready("start")
-    ai, bi, h = _lift_start(ai_all, bi_all, lv_all, m, rho_pad)
+    ai, bi, h = _lift_start(ai_all, bi_all, lv_all, m, rho_pad,
+                            seed_level=sl)
     for k, c_pad in sched:
         wave.ready(f"lv{c_pad}")
-        h = _lift_level_step(h, ai, bi, hist, _put_i32(k), m, c_pad)
+        h = _lift_level_step(h, ai, bi, hist, _put_i32(k), m, c_pad,
+                             seed_level=sl)
     wave.ready("fill")
-    return _lift_bytes_fill(h, ai, bi, pack8, isa, m, rho_pad)
+    return _lift_bytes_fill(h, ai, bi, packs, isa, m, rho_pad)
 
 
 def _seg_min_scan(vals, reset, reverse=False):
@@ -511,11 +518,11 @@ def _stage_timer():
 
 
 def _scan_prewarm(n_pad: int, sn_pad: int, m: int,
-                  pack_e_pad: int | None = None):
+                  pack_e_pad: int | None = None, wide: bool = False):
     """Wave A: every scan program whose shapes are known from (n, sn)
     alone, fired concurrently at entry (utils/prewarm rationale).
     ``pack_e_pad`` selects the 2-bit-packed build program (its exception
-    bucket) instead of the raw-byte one."""
+    bucket) instead of the raw-byte one; ``wide`` the 32-symbol seed."""
     from ..utils import prewarm
     from .joint_sa import joint_suffix_array
     w = prewarm.Wave()
@@ -532,7 +539,7 @@ def _scan_prewarm(n_pad: int, sn_pad: int, m: int,
     else:
         w.add("build", _build_joint_device, S((n_pad,), u8),
               S((sn_pad,), u8), sc, sc, sc, n_pad=n_pad, sn_pad=sn_pad)
-    w.add("jsa", joint_suffix_array, S((m,), u8), im, m=m)
+    w.add("jsa", joint_suffix_array, S((m,), u8), im, m=m, wide=wide)
     w.add("irr", _irreducible_slots, S((m,), u8), im, im, im, im,
           sc, sc, m=m, n_pad=n_pad)
     w.add("nbr", _neighbors, im, im, sc, m=m)
@@ -565,15 +572,24 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     sx_u8[:sn] = sx
     px = _pack2_host(x_u8, n)
     psx = _pack2_host(sx_u8, sn)
+    wide = False
     if px is not None and psx is not None:
         exc_pos = np.concatenate([px[1], psx[1] + np.int32(n_pad)])
         exc_val = np.concatenate([px[2], psx[2]])
+        # wide-seed precondition: every non-ACGT real byte occurs at most
+        # once globally (separators carry instance ranks, so byte 2 in
+        # the collection is exempt) — then the 32-symbol coarse seed's
+        # stop ties always resolve exactly (ops/joint_sa.py wide branch)
+        chk = np.concatenate([px[2], psx[2][psx[2] != SEPARATOR]])
+        wide = (m < (1 << 26)
+                and len(chk) == len(np.unique(chk)))
         e_pad = _pow2_pad(len(exc_pos) + 1)
         ep = np.full(e_pad, n_pad + sn_pad, np.int32)  # pads drop (OOB)
         ep[:len(exc_pos)] = exc_pos
         ev = np.zeros(e_pad, np.uint8)
         ev[:len(exc_val)] = exc_val
-        wave = _scan_prewarm(n_pad, sn_pad, m, pack_e_pad=e_pad)
+        wave = _scan_prewarm(n_pad, sn_pad, m, pack_e_pad=e_pad,
+                             wide=wide)
         wave.ready("build")
         b, sp = _build_joint_device_packed(
             _put(px[0]), _put(psx[0]), _put(ep), _put(ev),
@@ -589,7 +605,7 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     mark("upload+build_joint", b)
 
     wave.ready("jsa")
-    sa, isa, hist, pack8, k_star, split_lv = _joint_sa(b, sp, m)
+    sa, isa, hist, packs, k_star, split_lv = _joint_sa(b, sp, m, wide)
     mark("joint_sa", sa)
     wave.ready("irr")
     stats_dev, ai_all, bi_all, lv_all = _irreducible_slots(
@@ -598,7 +614,7 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     rho = int(stats[0])
     mark("irreducible(rho=%d)" % rho, ai_all)
     rho_pad = min(_pow2_pad(rho), m)
-    ell = _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all, isa,
+    ell = _lift_orchestrated(hist, packs, ai_all, bi_all, lv_all, isa,
                              stats, m, rho_pad)
     mark("lift_and_fill", ell)
     wave.ready("nbr")
@@ -989,7 +1005,7 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
                 jnp.int32(sep_base), n_pad, bs_pad)
             n_t = jnp.int32(n)
             wave.ready("jsa")
-            sa, isa, hist, pack8, k_star, split_lv = _joint_sa(b, sp, m)
+            sa, isa, hist, packs, k_star, split_lv = _joint_sa(b, sp, m)
             wave.ready("irr")
             stats_dev, ai_all, bi_all, lv_all = _irreducible_slots(
                 b, sp, sa, isa, split_lv, jnp.int32(n),
@@ -997,7 +1013,7 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             stats = _get(stats_dev)
             rho = int(stats[0])
             rho_pad = min(_pow2_pad(rho), m)
-            ell = _lift_orchestrated(hist, pack8, ai_all, bi_all, lv_all,
+            ell = _lift_orchestrated(hist, packs, ai_all, bi_all, lv_all,
                                      isa, stats, m, rho_pad)
             wave.ready("nbr")
             pred_pos, succ_pos, av, bv = _neighbors(sa, ell, n_t, m)
@@ -1054,3 +1070,193 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
         head_char=np.concatenate([p["char"] for p in head_parts]),
         ref_sa=ref_sa, ref_isa=ref_isa, ref_bwt=ref_bwt,
         h=len(head_t), sn=sn, irreducible=total_rho)
+
+
+# ---------------------------------------------------------------------------
+# Device-resident blocked execution (HBM-bound workloads, device merge)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("h_pad",))
+def _concat_block_heads(ts, poss, lens, smls, chrs, hs, b0s, h_pad: int):
+    """Concatenate per-block compacted head records ON DEVICE into one
+    stream-ordered array set: per-block local t becomes global t + b0,
+    pads key to INT_MAX, one sort orders and compacts. Blocks are
+    stream-ordered already, so the sort only interleaves pad tails."""
+    gt = []
+    for t, hb, b0 in zip(ts, hs, b0s):
+        i = jnp.arange(t.shape[0], dtype=jnp.int32)
+        gt.append(jnp.where(i < hb, t + b0, INT_MAX))
+    key = jnp.concatenate(gt)
+    pos = jnp.concatenate(poss)
+    ln = jnp.concatenate(lens)
+    sml = jnp.concatenate([s.astype(jnp.int32) for s in smls])
+    ch = jnp.concatenate([c.astype(jnp.int32) for c in chrs])
+    k_s, p_s, l_s, s_s, c_s = jax.lax.sort(
+        (key, pos, ln, sml, ch), num_keys=1)
+    L = key.shape[0]
+    if L < h_pad:
+        padw = h_pad - L
+        k_s = jnp.concatenate([k_s, jnp.full(padw, INT_MAX, jnp.int32)])
+        p_s = jnp.concatenate([p_s, jnp.zeros(padw, p_s.dtype)])
+        l_s = jnp.concatenate([l_s, jnp.zeros(padw, l_s.dtype)])
+        s_s = jnp.concatenate([s_s, jnp.zeros(padw, s_s.dtype)])
+        c_s = jnp.concatenate([c_s, jnp.zeros(padw, c_s.dtype)])
+    sl = lambda a: jax.lax.dynamic_slice(a, (0,), (h_pad,))
+    return sl(k_s), sl(p_s), sl(l_s), sl(s_s), sl(c_s)
+
+
+def ms_dense_heads_blocked_on_device(x_aug: np.ndarray, sx: np.ndarray,
+                                     block_chars: int,
+                                     ctx_chars: int | None = None,
+                                     merge_hook=None) -> DeviceHeadsResult:
+    """Blocked dense MS whose per-block head records STAY on device: the
+    device-resident generalization of ms_dense_heads_blocked for
+    HBM-bound workloads feeding the device merge. Per block only the
+    (h, viol, last_pos) scalar triple and the rho stats reach the host;
+    head records, the reference order, and the final merge inputs never
+    cross the ~7 MB/s download link (the r4 blocked path shipped ~50 MB
+    of heads + 40 MB of ref arrays down and back up at the 100 Mchar
+    ecoli config — pure wall-clock).
+
+    Blocks run serially (prev_pos0 chaining keeps cross-block head flags
+    exact, ref CMS-BWT-functions.cpp:360), with packed uploads and the
+    wide seed when the collection is ACGT-pure."""
+    from ..utils.jaxcache import bucket_size, enable_compilation_cache
+    enable_compilation_cache()
+    mark = _stage_timer()
+    n = len(x_aug)
+    sn = len(sx)
+    if ctx_chars is None:
+        ctx_chars = max(1 << 16, block_chars // 8)
+    sep_cum = np.cumsum(sx == SEPARATOR)
+    n_pad = bucket_size(n)
+    x_u8 = np.zeros(n_pad, np.uint8)
+    x_u8[:n] = x_aug
+    px = _pack2_host(x_u8, n)
+    progress = _block_progress(sn)
+    bs_pad0 = bucket_size(block_chars + ctx_chars)
+    wave = _scan_prewarm(n_pad, bs_pad0, n_pad + bs_pad0,
+                         wide=px is not None)
+    from ..utils import prewarm as _prewarm
+    if _prewarm.enabled():
+        _S, _i32 = _prewarm.sds, jnp.int32
+        wave.add("post_block", _postprocess_block,
+                 _S((n_pad + bs_pad0,), jnp.uint8), _S((bs_pad0,), _i32),
+                 _S((bs_pad0,), _i32), _S((bs_pad0,), jnp.bool_),
+                 _S((), _i32), _S((), _i32), _S((), _i32), _S((), _i32),
+                 n_pad=n_pad, sn_pad=bs_pad0)
+
+    parts: list = []
+    ref_sa = ref_isa = b_keep = None
+    prev_pos0 = -2
+    prev_b0v = None
+    total_rho = 0
+    x_packed_dev = x_raw_dev = None
+    b0 = 0
+    while b0 < sn:
+        emit_len = min(block_chars, sn - b0)
+        ctx = ctx_chars
+        while True:
+            end = min(b0 + emit_len + ctx, sn)
+            sx_blk = sx[b0:end]
+            bs_pad = bucket_size(block_chars + ctx)
+            if bs_pad == len(sx_blk) and sx_blk[-1] != SEPARATOR:
+                bs_pad = bucket_size(bs_pad + 1)
+            m = n_pad + bs_pad
+            sx_u8 = np.zeros(bs_pad, np.uint8)
+            sx_u8[: len(sx_blk)] = sx_blk
+            sep_base = int(sep_cum[b0 - 1]) if b0 > 0 else 0
+            psx = _pack2_host(sx_u8, len(sx_blk)) if px is not None else None
+            wide = False
+            wave.ready("build")
+            if psx is not None:
+                exc_pos = np.concatenate([px[1], psx[1] + np.int32(n_pad)])
+                exc_val = np.concatenate([px[2], psx[2]])
+                chk = np.concatenate([px[2], psx[2][psx[2] != SEPARATOR]])
+                wide = (m < (1 << 26)
+                        and len(chk) == len(np.unique(chk)))
+                e_pad = _pow2_pad(len(exc_pos) + 1)
+                ep = np.full(e_pad, m, np.int32)
+                ep[:len(exc_pos)] = exc_pos
+                ev = np.zeros(e_pad, np.uint8)
+                ev[:len(exc_val)] = exc_val
+                if x_packed_dev is None:
+                    x_packed_dev = _put(px[0])
+                b, sp = _build_joint_device_packed(
+                    x_packed_dev, _put(psx[0]), _put(ep), _put(ev),
+                    _put_i32(n), _put_i32(len(sx_blk)),
+                    _put_i32(sep_base), n_pad, bs_pad, e_pad)
+            else:
+                if x_raw_dev is None:
+                    x_raw_dev = _put(x_u8)
+                b, sp = _build_joint_device(
+                    x_raw_dev, _put(sx_u8), _put_i32(n),
+                    _put_i32(len(sx_blk)), _put_i32(sep_base),
+                    n_pad, bs_pad)
+            wave.ready("jsa")
+            sa, isa, hist, packs, k_star, split_lv = _joint_sa(
+                b, sp, m, wide)
+            wave.ready("irr")
+            stats_dev, ai_all, bi_all, lv_all = _irreducible_slots(
+                b, sp, sa, isa, split_lv, _put_i32(n),
+                _put_i32(len(sx_blk)), m, n_pad)
+            stats = _get(stats_dev)
+            rho = int(stats[0])
+            rho_pad = min(_pow2_pad(rho), m)
+            ell = _lift_orchestrated(hist, packs, ai_all, bi_all, lv_all,
+                                     isa, stats, m, rho_pad)
+            n_t = _put_i32(n)
+            wave.ready("nbr")
+            pred_pos, succ_pos, av, bv = _neighbors(sa, ell, n_t, m)
+            wave.ready("asm")
+            pos, length, smaller, rsa, risa = _assemble(
+                sa, pred_pos, succ_pos, av, bv, n_t,
+                _put_i32(len(sx_blk)), m, n_pad, bs_pad)
+            pb0 = _put_i32(SEPARATOR if prev_b0v is None else prev_b0v)
+            wave.ready("post_block")
+            (pos, length, smaller, is_head, char,
+             scalars) = _postprocess_block(
+                b, pos, length, smaller, n_t, _put_i32(emit_len),
+                _put_i32(prev_pos0), pb0, n_pad, bs_pad)
+            h_b, viol, last_pos = (int(v) for v in _get(scalars))
+            if viol and end < sn:
+                ctx *= 2
+                continue
+            break
+        total_rho += rho
+        ch_pad = min(_pow2_pad(h_b + 1), bs_pad)
+        out = _compact_heads_raw(pos, length, smaller, is_head, char,
+                                 bs_pad, ch_pad)
+        parts.append((out, h_b, b0))
+        if ref_sa is None:
+            ref_sa, ref_isa, b_keep = rsa, risa, b
+        prev_pos0 = last_pos
+        prev_b0v = int(sx[b0 + emit_len - 1])
+        b0 += emit_len
+        progress.update(emit_len)
+        mark("block@%d(h=%d)" % (b0, h_b), out[0])
+
+    h = sum(p[1] for p in parts)
+    h_pad = bucket_size(h + 1)
+    if merge_hook is not None:
+        merge_hook(h_pad, n_pad)
+    ts = tuple(p[0][0] for p in parts)
+    poss = tuple(p[0][1] for p in parts)
+    lens = tuple(p[0][2] for p in parts)
+    smls = tuple(p[0][3] for p in parts)
+    chrs = tuple(p[0][4] for p in parts)
+    hs = tuple(_put_i32(p[1]) for p in parts)
+    b0s = tuple(_put_i32(p[2]) for p in parts)
+    t_c, pos_c, len_c, sml_c, chr_c = _concat_block_heads(
+        ts, poss, lens, smls, chrs, hs, b0s, h_pad)
+    mark("concat_blocks(h=%d)" % h, t_c)
+    (t, pos_h, len_h, sml_h, chr_h, ref_sa, ref_isa,
+     ref_bwt) = _finish_for_merge(
+        t_c, pos_c, len_c, sml_c != 0, chr_c,
+        ref_sa, ref_isa, b_keep, _put_i32(n),
+        _put_i32(h), h_pad, n_pad)
+    mark("finish_for_merge", t)
+    return DeviceHeadsResult(
+        head_t=t, head_pos=pos_h, head_len=len_h, head_smaller=sml_h,
+        head_char=chr_h, ref_sa=ref_sa, ref_isa=ref_isa, ref_bwt=ref_bwt,
+        h=h, n=n, sn=sn, irreducible=total_rho)

@@ -128,3 +128,59 @@ def test_orchestrated_lift_equals_single_dispatch(seed, snp):
     ell_o = np.asarray(MD._lift_orchestrated(
         hist, pack8, ai_all, bi_all, lv_all, isa, stats, m, rho_pad))
     np.testing.assert_array_equal(ell_o, ell_1)
+
+
+@pytest.mark.parametrize("ref_len,docs,seed,kw", [
+    (300, 4, 10, {}),
+    (300, 4, 11, {"sep_base": 7}),
+    (64, 40, 12, {"doc_len": 5}),
+    (200, 3, 13, {"snp": 0.0}),            # identical copies (deep ties)
+    (500, 2, 14, {"trunc": 700}),
+])
+def test_wide_seed_equals_narrow(ref_len, docs, seed, kw):
+    """The 32-symbol 4-bit coarse seed must reproduce the byte seed's
+    SA/ISA exactly (its precondition holds for ACGT inputs: augmentation
+    bytes/sentinels are unique, separators carry instance ranks)."""
+    j, b, sp = _joint(ref_len, docs, seed, **kw)
+    m = int(j.shape[0])
+    sa_w, isa_w, hist_w, packs_w, ks_w, lv_w = MD._joint_sa(
+        b, sp, m, wide=True)
+    sa_n, isa_n, *_ = MD._joint_sa(b, sp, m)
+    np.testing.assert_array_equal(np.asarray(sa_w), np.asarray(sa_n))
+    np.testing.assert_array_equal(np.asarray(isa_w), np.asarray(isa_n))
+    assert packs_w.shape[0] == 2
+
+
+@pytest.mark.parametrize("seed,snp", [(0, 0.02), (1, 0.0)])
+def test_wide_split_levels_bound_adjacent_lcp(seed, snp):
+    from cmsbwt_tpu.ops.joint_sa import WIDE_SEED_LEVEL
+    j, b, sp = _joint(200, 3, 70 + seed, snp=snp)
+    m = int(j.shape[0])
+    sa, isa, hist, packs, k_star, split_lv = MD._joint_sa(
+        b, sp, m, wide=True)
+    jn, san, lvn = np.asarray(j), np.asarray(sa), np.asarray(split_lv)
+    rng = np.random.default_rng(seed)
+    for r in rng.integers(1, m, size=80):
+        ell = _brute_adjacent_lcp(jn, san, r)
+        L = lvn[r]
+        assert L >= WIDE_SEED_LEVEL
+        assert ell < (1 << L), (r, ell, L)
+
+
+def test_wide_lift_pairs_exact():
+    """lift_pairs with wide packs must return exact lcps (the nib16 tail
+    resolves sub-32 windows)."""
+    from cmsbwt_tpu.ops.joint_sa import lift_pairs
+    j, b, sp = _joint(300, 3, 99, snp=0.03)
+    m = int(j.shape[0])
+    sa, isa, hist, packs, k_star, split_lv = MD._joint_sa(
+        b, sp, m, wide=True)
+    jn, san = np.asarray(j), np.asarray(sa)
+    rng = np.random.default_rng(0)
+    rs = rng.integers(1, m, size=64).astype(np.int32)
+    ai = jnp.asarray(san[rs])
+    bi = jnp.asarray(san[rs - 1])
+    lv = jnp.asarray(np.asarray(split_lv)[rs])
+    got = np.asarray(lift_pairs(hist, packs, ai, bi, lv, m))
+    for t, r in enumerate(rs):
+        assert got[t] == _brute_adjacent_lcp(jn, san, int(r)), (t, r)
