@@ -186,6 +186,11 @@ def dshift(vals, w, pad_val, local: int, n_shards: int):
     shifted past either end take pad_val."""
     G = local * n_shards
     w64 = jnp.asarray(w, jnp.int64)
+    if n_shards == 1:
+        li = jnp.arange(local, dtype=jnp.int64)
+        gi = li + w64
+        return jnp.where((gi >= 0) & (gi < G),
+                         vals[jnp.clip(gi, 0, local - 1)], pad_val)
     wpos = jnp.where(w64 >= 0, w64, w64 + G)  # rotate by wpos, mask later
     q = wpos // local
     r = wpos - q * local
@@ -234,9 +239,14 @@ def dgather(vals, q, oob_val, local_v: int, n_shards: int):
     (out-of-range -> oob_val). ``vals`` lives in a (local_v,)-per-shard
     domain; ``q`` may come from a different domain (any local length).
     Two padded all_to_alls: queries route to their owner shard, answers
-    ride the inverse grid."""
+    ride the inverse grid. A 1-shard mesh is a plain local gather (no
+    routing, no offsets — the single-device degenerate case must not pay
+    the exchange scaffolding)."""
     n_total = local_v * n_shards
     lq = q.shape[0]
+    if n_shards == 1:
+        inr = (q >= 0) & (q < n_total)
+        return jnp.where(inr, vals[jnp.clip(q, 0, n_total - 1)], oob_val)
     inr = (q >= 0) & (q < n_total)
     qc = jnp.clip(q, 0, n_total - 1)
     dest = (qc // local_v).astype(jnp.int32)
@@ -259,9 +269,17 @@ def dscatter(base, idx, val, local_b: int, n_shards: int,
     """Distributed base.at[idx].{set,add,max}(val) over int64 global idx
     (``base`` in a (local_b,)-per-shard domain; ``idx``/``val`` from any
     domain); out-of-range rows drop. ``set`` requires unique live indices
-    (the engine's scatters are disjoint-write by construction)."""
+    (the engine's scatters are disjoint-write by construction). A 1-shard
+    mesh is a plain local scatter."""
     G = local_b * n_shards
     live = (idx >= 0) & (idx < G)
+    if n_shards == 1:
+        at = jnp.where(live, idx, G)
+        if mode == "set":
+            return base.at[at].set(val, mode="drop")
+        if mode == "add":
+            return base.at[at].add(val, mode="drop")
+        return base.at[at].max(val, mode="drop")
     idxc = jnp.clip(idx, 0, G - 1)
     dest = jnp.where(live, idxc // local_b, n_shards).astype(jnp.int32)
     slot = (idxc - (idxc // local_b) * local_b).astype(jnp.int32)
@@ -286,10 +304,58 @@ def dscatter(base, idx, val, local_b: int, n_shards: int,
         jnp.where(rx < local_b, rv, _dtype_min(val.dtype)), mode="drop")
 
 
+def _route_contig(gpos, vals, fills, local: int, n_shards: int):
+    """Contiguous-rank relayout: per-shard ASCENDING global ranks ``gpos``
+    (dead rows >= G) into the regular layout, for several value channels
+    at once.
+
+    With the live-quantile-aligned splitters (dsort), each shard's rank
+    range straddles its own regular slice give or take sampling error, so
+    rows move at most a few shards: hop h in [-H, H] ships whole blocks
+    by ppermute (H derived from the cap factor; rows needing a larger hop
+    raise the overflow flag and the caller's retry widens H, falling back
+    to the full (R, local) grid at factor >= R). Traffic is
+    (2H+1)*(channels+1) local-size blocks instead of the old full
+    (n_shards, local) all_to_all per channel — R times the data — plus it
+    drops the two stable argsorts per channel the grid layout needed."""
+    G = local * n_shards
+    live = (gpos >= 0) & (gpos < G)
+    if n_shards == 1:
+        at = jnp.where(live, gpos, local)
+        return [jnp.full(local, f, v.dtype).at[at].set(v, mode="drop")
+                for v, f in zip(vals, fills)]
+    cf = getattr(_TLS, "cap_factor", None)
+    if not cf or cf >= n_shards:
+        return [_route_rows(gpos, v, f, local, n_shards)
+                for v, f in zip(vals, fills)]
+    H = min(max(1, int(cf) // 4), n_shards - 1)
+    s = _s().astype(jnp.int64)
+    destq = jnp.where(live, gpos // local, 0)
+    hop = jnp.where(live, destq - s, jnp.int64(1) << 40)
+    _note_overflow(jnp.any(live & (jnp.abs(hop) > H)))
+    slot = jnp.where(live, gpos - destq * local, local).astype(jnp.int32)
+    outs = [jnp.full(local, f, v.dtype) for v, f in zip(vals, fills)]
+    for hh in range(-H, H + 1):
+        sel = live & (hop == hh)
+        at = jnp.where(sel, slot, local)
+        sent_m = jnp.zeros(local, jnp.int32).at[at].set(1, mode="drop")
+        blocks = [jnp.full(local, f, v.dtype).at[at].set(v, mode="drop")
+                  for v, f in zip(vals, fills)]
+        if hh != 0:
+            perm = [(src, (src + hh) % n_shards)
+                    for src in range(n_shards)]
+            sent_m = jax.lax.ppermute(sent_m, AXIS, perm)
+            blocks = [jax.lax.ppermute(bv, AXIS, perm) for bv in blocks]
+        outs = [jnp.where(sent_m == 1, bv, o)
+                for bv, o in zip(blocks, outs)]
+    return outs
+
+
 def _route_rows(gpos, val, fill, local: int, n_shards: int):
     """Rows of the irregular (n_shards*local,) exchange layout -> the
     regular layout at global positions ``gpos`` (unique; out-of-range rows
-    drop). Regular slots receiving no row take ``fill``."""
+    drop). Regular slots receiving no row take ``fill``. Full-width
+    fallback of _route_contig (capacity-unbounded)."""
     G = local * n_shards
     live = (gpos >= 0) & (gpos < G)
     gc = jnp.clip(gpos, 0, G - 1)
@@ -324,28 +390,56 @@ def dsort(keys, payloads, local: int, n_shards: int, kmax=I64_MAX):
 
     Sample sort: local sort -> all_gather'd splitter candidates ->
     padded-bucket all_to_all -> local re-sort -> route every row back to
-    the regular layout at its global rank.
+    the regular layout at its global rank. A 1-shard mesh is ONE local
+    lax.sort (the exchange/splitter/relayout machinery priced the r4
+    primary_shmerge bench at 0.036x on the single real chip).
     """
     two = len(keys) == 2
     k0 = keys[0]
     k1 = keys[1] if two else jnp.zeros_like(k0)
+    if n_shards == 1:
+        ops = jax.lax.sort((k0, k1, *payloads), num_keys=2)
+        kmax_t = jnp.asarray(kmax, k0.dtype)
+        live = ops[0] < kmax_t
+        outs = [jnp.where(live, ops[0], kmax_t)]
+        if two:
+            outs.append(jnp.where(live, ops[1], kmax_t))
+        pays_out = [jnp.where(live, p, jnp.zeros((), p.dtype))
+                    for p in ops[2:]]
+        return outs, pays_out
     ops = jax.lax.sort((k0, k1, *payloads), num_keys=2)
     k0s, k1s, pays = ops[0], ops[1], list(ops[2:])
 
-    step = max(local // n_shards, 1)
-    cand = jnp.minimum(jnp.arange(n_shards) * step, local - 1)
+    # live-quantile-aligned splitters: candidates sample each shard's
+    # LIVE prefix, and boundary b targets global live rank b*local — so
+    # bucket b's rows are (approximately) exactly the rows whose final
+    # regular home is shard b. That balances the exchange AND makes the
+    # post-sort rank relayout near-local (_route_contig hops ~ +-1).
+    # The old fixed-stride sampling included pad keys: with sparse
+    # domains the live rows piled into the low buckets and the relayout
+    # needed the full-width grid.
+    live_in = k0s < jnp.asarray(kmax, k0.dtype)
+    nlive_loc = jnp.sum(live_in.astype(jnp.int64))
+    cand = jnp.minimum((jnp.arange(n_shards, dtype=jnp.int64)
+                        * nlive_loc) // n_shards, local - 1)
     g0 = jax.lax.all_gather(k0s[cand], AXIS, tiled=True)
     g1 = jax.lax.all_gather(k1s[cand], AXIS, tiled=True)
     g0, g1 = jax.lax.sort((g0, g1), num_keys=2)
-    spl = jnp.arange(1, n_shards) * n_shards
-    s0, s1 = g0[spl], g1[spl]
+    glive = jax.lax.psum(nlive_loc, AXIS)
+    nc = n_shards * n_shards
+    b_arr = jnp.arange(1, n_shards, dtype=jnp.int64)
+    frac_rank = jnp.clip((b_arr * local * nc) // jnp.maximum(glive, 1),
+                         0, nc - 1)
+    kmax0 = jnp.asarray(kmax, k0.dtype)
+    beyond = b_arr * local >= glive
+    s0 = jnp.where(beyond, kmax0, g0[frac_rank])
+    s1 = jnp.where(beyond, kmax0, g1[frac_rank])
 
     below = (s0[None, :] < k0s[:, None]) | \
         ((s0[None, :] == k0s[:, None]) & (s1[None, :] <= k1s[:, None]))
     dest = jnp.sum(below.astype(jnp.int32), axis=1)
     # pad rows (keys >= kmax) are never routed — receivers reconstruct
     # them as fills — so they must not consume bucket capacity
-    live_in = k0s < jnp.asarray(kmax, k0.dtype)
     dest = jnp.where(live_in, dest, n_shards)
     # rows are locally sorted => dest non-decreasing => offset by first
     first = jnp.searchsorted(dest, jnp.arange(n_shards), side="left")
@@ -379,12 +473,11 @@ def dsort(keys, payloads, local: int, n_shards: int, kmax=I64_MAX):
     # routed; output tail slots take the explicit fills (keys kmax,
     # payloads 0), which is the pad convention downstream stages assume
     gpos = jnp.where(live, pre_live + live_rank, jnp.int64(G))
-    out_k0 = _route_rows(gpos, m0, jnp.asarray(kmax, k0.dtype),
-                         local, n_shards)
-    keys_out = [out_k0]
-    if two:
-        keys_out.append(_route_rows(gpos, m1, jnp.asarray(kmax, k1.dtype),
-                                    local, n_shards))
-    pays_out = [_route_rows(gpos, p, jnp.zeros((), p.dtype),
-                            local, n_shards) for p in mp]
+    vals = [m0] + ([m1] if two else []) + mp
+    fills = [jnp.asarray(kmax, k0.dtype)] \
+        + ([jnp.asarray(kmax, k1.dtype)] if two else []) \
+        + [jnp.zeros((), p.dtype) for p in mp]
+    routed = _route_contig(gpos, vals, fills, local, n_shards)
+    keys_out = routed[: (2 if two else 1)]
+    pays_out = routed[(2 if two else 1):]
     return keys_out, pays_out

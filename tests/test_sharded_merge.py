@@ -13,7 +13,8 @@ from cmsbwt_tpu.parallel.sharded_merge import merge_heads_sharded
 from helpers import make_fasta, mutate, random_dna
 
 
-def _case(tmp_path, seed, ref_len, nd, snp, rle_quirk, dup=False):
+def _case(tmp_path, seed, ref_len, nd, snp, rle_quirk, dup=False,
+          n_devices=8):
     rng = np.random.default_rng(seed)
     ref = random_dna(rng, ref_len)
     docs = [mutate(rng, ref, snp) for _ in range(nd)]
@@ -35,7 +36,7 @@ def _case(tmp_path, seed, ref_len, nd, snp, rle_quirk, dup=False):
     rl1, rc1 = merge_heads_sharded(
         dres.head_t, dres.head_pos, dres.head_len, dres.head_smaller,
         dres.head_char, dres.ref_sa, dres.ref_isa, dres.ref_bwt,
-        dres.h, n, dres.sn, d, rle_quirk, n_devices=8)
+        dres.h, n, dres.sn, d, rle_quirk, n_devices=n_devices)
 
     def expand(rl, rc):
         return np.repeat(rc.astype(np.uint8), rl)
@@ -88,3 +89,10 @@ def test_pipeline_merge_backend_sharded(tmp_path, rle):
             backend="dense", merge_backend=mb))
         outs[mb] = open(out["out_path"], "rb").read()
     assert outs["sharded"] == outs["host"]
+
+
+@pytest.mark.parametrize("seed,rq", [(10, False), (11, True)])
+def test_sharded_merge_single_device_fast_path(tmp_path, seed, rq):
+    """n_devices=1 exercises the degenerate local fast paths in
+    parallel/dist.py (the layout the real single-chip bench runs)."""
+    _case(tmp_path, seed, 500, 4, 0.02, rq, n_devices=1)
