@@ -40,6 +40,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..config import SEPARATOR
 from ..ops import ms_dense as MD
+from ..utils.xfer import get_global as _gg
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "data") -> Mesh:
@@ -176,7 +177,14 @@ def ms_dense_heads_mesh(x_aug: np.ndarray, sx: np.ndarray,
             jnp.int32(n),
             n_pad, bs_pad, rho_cap, h_cap)
         any_viol, any_over, _ = (int(v) for v in np.asarray(wave_sc))
-        pd = np.asarray(per_dev)  # [ndev, 5]
+        pd = _gg(per_dev)  # [ndev, 5]
+        if jax.process_count() > 1:
+            # multi-process: fetch the whole wave with SYMMETRIC
+            # collectives — the per-row addressable-shard fast path would
+            # let processes disagree on whether an allgather runs (the
+            # 2-process deadlock tests/test_distributed_2proc.py guards)
+            t_r, pos_r, len_r, sml_r, chr_r = (
+                _gg(t_r), _gg(pos_r), _gg(len_r), _gg(sml_r), _gg(chr_r))
         for i, b0 in enumerate(wave):
             h_i, viol_i, last_i, rho_i, over_i = (int(v) for v in pd[i])
             end = min(b0 + int(emit[i]) + ctx_chars, sn)
@@ -231,11 +239,14 @@ def ms_dense_heads_mesh(x_aug: np.ndarray, sx: np.ndarray,
 
 def _row(sharded, i):
     """Fetch one device's row of a P('data')-sharded [ndev, h_cap] output
-    without gathering the whole array."""
+    without gathering the whole array (multi-process callers pre-gather
+    and pass numpy)."""
+    if isinstance(sharded, np.ndarray):
+        return sharded[i]
     for s in sharded.addressable_shards:
         if s.index[0].start == i or (s.index[0].start is None and i == 0):
             return np.asarray(s.data)[0]
-    return np.asarray(sharded[i])  # cross-process fallback (gathers)
+    return _gg(sharded)[i]  # cross-process fallback (gathers the wave)
 
 
 def _export_ref_index(x_aug, n_pad):

@@ -51,6 +51,7 @@ import jax.numpy as jnp
 from jax.sharding import NamedSharding, PartitionSpec as P
 
 from . import dist as D
+from ..utils.xfer import get_global as _gg
 from .dist import (AXIS, dcummax, dcummax_rev, dcummin_rev, dcumsum,
                    dgather, dscatter, dshift, dsort, gidx64)
 
@@ -744,7 +745,7 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
              slot_base) = _stage_a_program(
                 mesh, *args, scal, lh=lh, ln_=ln_, R=R, rounds=rounds,
                 cap_factor=cfa)
-            meta_np = np.asarray(meta_sh)[:4]
+            meta_np = _gg(meta_sh)[:4]
             if int(meta_np[3]):
                 cf *= 2
                 continue
@@ -755,7 +756,7 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
              src_cls) = _stage_good_program(
                 mesh, cls_stack, pairs_stack, slot_base, meta, scal,
                 lh=lh, lp=lp, R=R, cap_factor=cfa)
-            stats_np = np.asarray(stats_sh)[:3]
+            stats_np = _gg(stats_sh)[:3]
             if int(stats_np[2]):
                 cf *= 2
                 continue
@@ -768,7 +769,7 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
                     member_rank_sorted, cls_of_slot, e_pidx, e_fnd,
                     src_cls, jnp.asarray([n_exact, h], jnp.int64),
                     lh=lh, lp=lp, lm=lm, R=R, cap_factor=cfa)
-                if int(np.asarray(eovf_sh)[0]):
+                if int(_gg(eovf_sh)[0]):
                     cf *= 2
                     continue
                 counter = counter + counter2
@@ -777,14 +778,14 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
                 tails_cnt, bwt_heads, args[5], args[6], args[7], scal,
                 lh=lh, ln_=ln_, R=R, rle_quirk=bool(rle_quirk),
                 cap_factor=cfa)
-            nr_np = np.asarray(n_runs_sh)[:2]
+            nr_np = _gg(n_runs_sh)[:2]
             if int(nr_np[1]):
                 cf *= 2
                 continue
             n_runs = int(nr_np[0])
             break
-        run_len = np.asarray(rl)[:n_runs].astype(np.int64)
-        run_char = np.asarray(rc)[:n_runs].astype(np.uint8)
+        run_len = _gg(rl)[:n_runs].astype(np.int64)
+        run_char = _gg(rc)[:n_runs].astype(np.uint8)
     return run_len, run_char
 
 

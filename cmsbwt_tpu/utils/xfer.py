@@ -26,3 +26,20 @@ def get(a):
 def put_i32(v):
     """Upload a Python/numpy scalar as a device int32."""
     return jax.device_put(np.int32(v))
+
+
+def get_global(a):
+    """Host copy of a possibly multi-process (non-fully-addressable)
+    array: plain download when this process sees every shard, else a
+    ``process_allgather`` so each process reconstructs the global value
+    (the multi-host form of the sharded merge's result fetches)."""
+    import jax
+
+    try:
+        fully = a.is_fully_addressable
+    except AttributeError:
+        fully = True
+    if fully:
+        return jax.device_get(a)
+    from jax.experimental import multihost_utils
+    return multihost_utils.process_allgather(a, tiled=True)
