@@ -36,7 +36,7 @@ def build_parser() -> argparse.ArgumentParser:
                    help="basename for the output files (default: input name)")
     p.add_argument("--backend",
                    choices=["auto", "host", "device", "dense", "jump",
-                            "pallas"],
+                            ],
                    default="auto", help="compute backend (default auto)")
     p.add_argument("--lanes", type=int, default=256,
                    help="parallel MS cursors (device backend)")
@@ -48,7 +48,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--merge-backend",
                    choices=["auto", "host", "device", "sharded"],
                    default="auto",
-                   help="downstream merge engine (dense/jump/pallas): host "
+                   help="downstream merge engine (dense/jump): host "
                         "numpy/OpenMP, device sorted joins, or sharded "
                         "mesh joins (int64-safe, multi-device; default auto)")
     p.add_argument("--checkpoint-dir", default=None,

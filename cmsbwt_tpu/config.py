@@ -43,10 +43,8 @@ class Config:
                                     # chunk size of the fallback writers
 
     # --- TPU-native knobs (no reference equivalent) ---
-    backend: str = "auto"           # "host", "device", "dense", "jump",
-                                    # "pallas" (Mosaic kernel), or "auto";
-                                    # "dense" (joint sort), "jump"
-                                    # (head-jumping), "auto"
+    backend: str = "auto"           # "host", "device", "dense" (joint
+                                    # sort), "jump" (head-jumping), "auto"
     lanes: int = 4096               # parallel MS cursors per device
     skip_window: int = 64           # vectorized memcmp window (device/jump)
     dense_block_chars: Optional[int] = None  # None = single joint sort;

@@ -147,7 +147,7 @@ def compute_bwt(cfg: Config) -> dict:
         idx_ckpt = idx_fp = None
         cache_root = cfg.checkpoint_dir or cfg.resolved_index_cache_dir()
         host_index_wanted = giant or backend not in (
-            "dense", "jump", "pallas", "device")
+            "dense", "jump", "device")
         if cache_root and host_index_wanted:
             from ..utils.checkpoint import CheckpointManager, file_stamp
             idx_ckpt = CheckpointManager(cache_root)
@@ -167,7 +167,7 @@ def compute_bwt(cfg: Config) -> dict:
             index = _export_device_index(dindex, x_aug)
         elif index is None and backend == "native":
             index = _build_host_index_fast(x_aug)
-        elif index is None and backend not in ("dense", "jump", "pallas"):
+        elif index is None and backend not in ("dense", "jump"):
             index = build_reference_index(x_aug)
         if idx_ckpt is not None and index is not None and cached_idx is None:
             idx_ckpt.save("ref_index", idx_fp, {
@@ -197,12 +197,12 @@ def compute_bwt(cfg: Config) -> dict:
                 f"collection has {coll.sn} chars (>= the int32 device-merge "
                 f"bound {_sn_bound()}): merge_backend='device' cannot run "
                 "it; use merge_backend=auto/host")
-        if cfg.backend in ("jump", "pallas", "device"):
+        if cfg.backend in ("jump", "device"):
             raise ValueError(
                 f"collection has {coll.sn} chars (>= the int32 bound "
                 f"{_sn_bound()}): backend={cfg.backend} uses int32 device "
                 "scans; use backend=auto/dense (blocked) or host")
-        if backend in ("jump", "pallas", "device", "dense"):
+        if backend in ("jump", "device", "dense"):
             backend = "dense"   # blocked int64 route, forced below
 
     ms = None
@@ -235,7 +235,13 @@ def compute_bwt(cfg: Config) -> dict:
                                   buffer_bytes=cfg.buffer_gib << 30)
         return _write_outputs(cfg, outname, index, result, timer,
                                backend=backend)
-    if backend in ("jump", "pallas"):
+    if backend == "pallas":
+        raise ValueError(
+            "backend='pallas' was retired: the Mosaic kernel cannot "
+            "compile on this chip (docs/retired_pallas_scan.py, "
+            "docs/pallas_ms_kernel.md); use backend='jump' (device "
+            "range-max descent) or 'dense'")
+    if backend == "jump":
         # head-jumping scan (ops/ms_jump): per-PHRASE device work — the
         # low-divergence fast path. Scan result and reference index stay
         # on device; the device merge finishes the pipeline.
@@ -248,14 +254,9 @@ def compute_bwt(cfg: Config) -> dict:
             lanes = min(lanes, AUTO_CPU_JUMP_LANES)
         try:
             with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
-                if backend == "pallas":
-                    from ..ops.pallas_scan import ms_pallas_heads
-                    jres = ms_pallas_heads(x_aug, coll.sx, lanes=lanes,
-                                           window=cfg.skip_window)
-                else:
-                    from ..ops.ms_jump import ms_jump_heads
-                    jres = ms_jump_heads(x_aug, coll.sx, lanes=lanes,
-                                         window=cfg.skip_window)
+                from ..ops.ms_jump import ms_jump_heads
+                jres = ms_jump_heads(x_aug, coll.sx, lanes=lanes,
+                                     window=cfg.skip_window)
         except Exception as e:
             # a Mosaic lowering/runtime failure on this platform must not
             # strand the run — the dense path computes the same answer
@@ -701,14 +702,13 @@ def _resolve_backend(backend: str, coll_chars: int | None = None,
       the jump XLA scan; tiny inputs -> native/host (dispatch overheads
       dominate any device path below the crossover).
 
-    The pallas scan is never auto-selected: the 2026-08-19 hardware probes
-    showed this toolchain's Mosaic caps ``tpu.dynamic_gather`` at a
-    128-lane extent ("Multiple source vregs along gather dimension" is
-    Not implemented), so the kernel's VMEM-resident wide-row tables can
+    The pallas Mosaic kernel was RETIRED in round 5 (VERDICT r4 item 6):
+    the 2026-08-19 hardware probes showed this toolchain caps
+    ``tpu.dynamic_gather`` at a 128-lane extent, so the kernel could
     never compile on the chip (docs/pallas_ms_kernel.md §hardware
-    verdict). Explicit backend="pallas" still works — interpreted on CPU,
-    and on TPU it fails the Mosaic compile quickly and falls back to
-    dense with a logged notice."""
+    verdict; the source is preserved at docs/retired_pallas_scan.py).
+    Its block-tree PSV/NSV semantics live on in ops/ms_jump.py and
+    native/cmsbwt_scan.cpp."""
     if backend != "auto":
         return backend
 

@@ -56,7 +56,7 @@ class CMSBWT:
     @property
     def device_index(self):
         """Device-built reference index (index/device.DeviceIndex), built
-        once and reused by every jump/pallas transform."""
+        once and reused by every jump transform."""
         if self._device_index is None:
             from ..index.device import build_device_index
             self._device_index = build_device_index(self.x_aug)
@@ -88,13 +88,10 @@ class CMSBWT:
             result = pipeline_mod.merge_from_heads(
                 index, heads, coll.d, coll.sn, rle_quirk, timer,
                 buffer_bytes=buffer_bytes)
-        elif backend in ("jump", "pallas"):
+        elif backend == "jump":
             # the device reference index is cached on the model: transform
             # amortizes it across collections (the class's whole point)
-            if backend == "pallas":
-                from ..ops.pallas_scan import ms_pallas_heads as _scan
-            else:
-                from ..ops.ms_jump import ms_jump_heads as _scan
+            from ..ops.ms_jump import ms_jump_heads as _scan
             with timer.phase("ms_scan"):
                 jres = _scan(self.x_aug, coll.sx, lanes=cfg.lanes,
                              window=cfg.skip_window,

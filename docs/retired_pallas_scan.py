@@ -1,4 +1,15 @@
-"""Pallas MS scan kernel: the head-jumping lane state machine of
+"""RETIRED (round 5, VERDICT r4 item 6). This Mosaic kernel cannot
+compile on the target chip: the toolchain caps ``tpu.dynamic_gather``
+at a 128-lane extent ("Multiple source vregs along gather dimension"
+is Not implemented), so the kernel's VMEM-resident wide-row tables
+never lower (docs/pallas_ms_kernel.md). It is preserved here as the
+reference for the in-kernel 3-level block-minima PSV/NSV design; the
+production equivalents are ops/ms_jump.py (device range-max descent)
+and native/cmsbwt_scan.cpp (host 3-level block minima). NOT imported
+by the package.
+
+"""
+Pallas MS scan kernel: the head-jumping lane state machine of
 ``ops/ms_jump`` run INSIDE one TPU kernel with the reference index resident
 in VMEM (SURVEY.md §7.4 hard part #1; ref hot loops
 ``CMS-BWT-functions.cpp:45-149,357-403``).

@@ -37,8 +37,8 @@ def test_model_dense_backend(tmp_path):
     assert a.bwt == b.bwt
 
 
-def test_model_jump_and_pallas_backends(tmp_path):
-    """CMSBWT.transform honors backend='jump'/'pallas' (head-jumping scan
+def test_model_jump_backend(tmp_path):
+    """CMSBWT.transform honors backend='jump' (head-jumping scan
     into the shared merge engine); bytes match the host backend."""
     import numpy as np
     from helpers import mutate, random_dna
@@ -52,6 +52,6 @@ def test_model_jump_and_pallas_backends(tmp_path):
             f.write(b">d%d\n" % i + d + b"\n")
     model = CMSBWT(ref)
     base = model.transform(str(coll_path), backend="host").bwt
-    for be in ("jump", "pallas"):
+    for be in ("jump",):
         got = model.transform(str(coll_path), backend=be).bwt
         assert got == base, be
