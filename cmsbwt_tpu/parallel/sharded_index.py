@@ -26,9 +26,12 @@ Per doubling round, entirely inside one ``shard_map`` program:
   distributed form of the ``cumsum(changed) - 1`` in
   ``index/device.py:_dense_rank``.
 
-Keys are (rank, rank[i+w]) int64 pairs sorted with ``num_keys=2`` — no
-packing, so ranks up to 2^62 are representable (the int32 paths pack two
-ranks into one int64 and stop at 2^31).
+Rounds QUADRUPLE: keys are (rank, rank[i+w], rank[i+2w], rank[i+3w])
+int64 rows sorted with ``num_keys=4`` — two doubling levels per sample
+sort, so the build pays half the full-width rounds — and no packing in
+the keys, so ranks up to 2^62 are representable (the int32 paths pack
+two ranks into one int64 and stop at 2^31). Rounds stop early once all
+ranks are distinct.
 
 This module is the executable prototype for the large-reference regime:
 correct at any n that fits the mesh's aggregate memory, exercised in CI
@@ -102,36 +105,36 @@ def _exclusive_shard_prefix(count: jnp.ndarray, n_shards: int) -> jnp.ndarray:
     return jnp.sum(jnp.where(mask, all_counts, 0))
 
 
-def _sample_sort(k1, k2, v, local: int, n_shards: int, kmax):
-    """Globally sort (k1, k2, v) rows by (k1, k2) across the mesh axis.
+def _sample_sort(keys, v, local: int, n_shards: int, kmax):
+    """Globally sort rows by the key list (lexicographic) across the mesh
+    axis, carrying payload ``v``.
 
-    Returns (k1, k2, v, valid) in padded irregular layout: each shard holds
-    a sorted slice of the global order, ``valid`` rows of it real. No
-    overflow is possible: a source holds ``local`` rows total, so no
-    per-(source, destination) bucket can exceed the ``local`` capacity.
-
-    Padded-bucket all_to_all: destination capacity = local since no shard
-    can receive more than the whole global share of... each source sends
-    <= local rows total, so per (source, destination) bucket <= local;
-    receive buffer is (n_shards, local).
+    Returns (keys_sorted, v, valid) in padded irregular layout: each shard
+    holds a sorted slice of the global order, ``valid`` rows of it real.
+    No overflow is possible: a source holds ``local`` rows total, so no
+    per-(source, destination) bucket can exceed the ``local`` capacity of
+    the padded-bucket all_to_all grid.
     """
-    k1s, k2s, vs = jax.lax.sort((k1, k2, v), num_keys=2)
+    nk = len(keys)
+    ops = jax.lax.sort((*keys, v), num_keys=nk)
+    ks_s, vs = list(ops[:nk]), ops[nk]
 
     # regular sampling: n_shards candidates per shard
     step = max(local // n_shards, 1)
     cand_idx = jnp.minimum(jnp.arange(n_shards) * step, local - 1)
-    c1 = k1s[cand_idx]
-    c2 = k2s[cand_idx]
-    g1 = jax.lax.all_gather(c1, AXIS, tiled=True)         # (R*R,)
-    g2 = jax.lax.all_gather(c2, AXIS, tiled=True)
-    g1, g2 = jax.lax.sort((g1, g2), num_keys=2)
+    gs = [jax.lax.all_gather(k[cand_idx], AXIS, tiled=True)  # (R*R,)
+          for k in ks_s]
+    gs = list(jax.lax.sort(tuple(gs), num_keys=nk))
     spl_idx = jnp.arange(1, n_shards) * n_shards
-    s1 = g1[spl_idx]                                       # (R-1,) splitters
-    s2 = g2[spl_idx]
+    spl = [g[spl_idx] for g in gs]                        # (R-1,) splitters
 
-    # destination shard per row: count of splitters <= (k1, k2)
-    below = (s1[None, :] < k1s[:, None]) | \
-        ((s1[None, :] == k1s[:, None]) & (s2[None, :] <= k2s[:, None]))
+    # destination shard per row: count of splitters <= row (lexicographic)
+    eq = jnp.ones((local, n_shards - 1), bool)
+    below = jnp.zeros((local, n_shards - 1), bool)
+    for sk, rk in zip(spl, ks_s):
+        below = below | (eq & (sk[None, :] < rk[:, None]))
+        eq = eq & (sk[None, :] == rk[:, None])
+    below = below | eq
     dest = jnp.sum(below.astype(jnp.int32), axis=1)        # (local,) in [0,R)
 
     # pack rows into per-destination buckets of capacity local
@@ -139,21 +142,18 @@ def _sample_sort(k1, k2, v, local: int, n_shards: int, kmax):
     # position - first position of that dest
     first = jnp.searchsorted(dest, jnp.arange(n_shards), side="left")
     offs = jnp.arange(local) - first[dest]
-    send1 = jnp.full((n_shards, local), kmax, k1s.dtype)
-    send2 = jnp.full((n_shards, local), kmax, k2s.dtype)
-    sendv = jnp.zeros((n_shards, local), vs.dtype)
-    send1 = send1.at[dest, offs].set(k1s)
-    send2 = send2.at[dest, offs].set(k2s)
-    sendv = sendv.at[dest, offs].set(vs)
 
-    r1 = jax.lax.all_to_all(send1, AXIS, 0, 0, tiled=False)
-    r2 = jax.lax.all_to_all(send2, AXIS, 0, 0, tiled=False)
-    rv = jax.lax.all_to_all(sendv, AXIS, 0, 0, tiled=False)
+    def exch(arr, fill):
+        send = jnp.full((n_shards, local), fill, arr.dtype)
+        send = send.at[dest, offs].set(arr)
+        return jax.lax.all_to_all(send, AXIS, 0, 0, tiled=False).reshape(-1)
 
-    m1, m2, mv = jax.lax.sort(
-        (r1.reshape(-1), r2.reshape(-1), rv.reshape(-1)), num_keys=2)
-    valid = jnp.sum((m1 < kmax).astype(jnp.int64))
-    return m1, m2, mv, valid
+    rk = [exch(k, kmax) for k in ks_s]
+    rv = exch(vs, jnp.zeros((), vs.dtype))
+    m = jax.lax.sort((*rk, rv), num_keys=nk)
+    mk, mv = list(m[:nk]), m[nk]
+    valid = jnp.sum((mk[0] < kmax).astype(jnp.int64))
+    return mk, mv, valid
 
 
 def _scatter_back(idx, val, local: int, n_shards: int, valid):
@@ -176,91 +176,6 @@ def _scatter_back(idx, val, local: int, n_shards: int, valid):
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("mesh", "local", "n_shards",
-                                             "rounds"))
-def _sharded_sa_program(mesh, x_sh, n, local: int, n_shards: int,
-                        rounds: int):
-    kmax = jnp.int64(2**62)
-
-    def body(x_local, n):
-        n = n[0]
-        s = _axis_index()
-        gidx = s.astype(jnp.int64) * local + \
-            jnp.arange(local, dtype=jnp.int64)
-        in_n = gidx < n
-        # rank 0: character ranks; chars are small so chars ARE valid
-        # int64 keys directly (dense ranking happens implicitly: equal
-        # keys share sort order and the change-count pass densifies)
-        rank = jnp.where(in_n, x_local.astype(jnp.int64), kmax)
-
-        def round_w(carry, k):
-            rank, done = carry
-            w = jnp.int64(1) << k
-
-            def do(rank):
-                nxt = _shift_sharded(rank, w, n, local, n_shards,
-                                     jnp.int64(-1))
-                k1 = jnp.where(in_n, rank, kmax)
-                k2 = jnp.where(in_n, nxt, jnp.int64(-1))
-                m1, m2, mi, valid = _sample_sort(
-                    k1, k2, gidx, local, n_shards, kmax)
-                rows = m1.shape[0]
-                live = jnp.arange(rows, dtype=jnp.int64) < valid
-                changed = live & ~(
-                    (m1 == jnp.roll(m1, 1)) & (m2 == jnp.roll(m2, 1)) &
-                    (jnp.arange(rows) > 0))
-                # cross-shard tie continuation: if my first live key equals
-                # the last live key of the nearest non-empty shard to the
-                # left, row 0 continues that group (must NOT open a new one
-                # — splitting a tie group would bake the sort's arbitrary
-                # within-group order into the ranks)
-                has = valid > 0
-                last_i = jnp.maximum(valid - 1, 0)
-                g_has = jax.lax.all_gather(has, AXIS)
-                g1l = jax.lax.all_gather(m1[last_i], AXIS)
-                g2l = jax.lax.all_gather(m2[last_i], AXIS)
-                t = jnp.arange(n_shards)
-                j = jnp.max(jnp.where((t < s) & g_has, t, -1))
-                jc = jnp.maximum(j, 0)
-                first_same = (j >= 0) & (m1[0] == g1l[jc]) & \
-                    (m2[0] == g2l[jc])
-                changed = changed.at[0].set(live[0] & ~first_same)
-                # global rank = exclusive global prefix over first-of-group
-                local_marks = jnp.cumsum(changed.astype(jnp.int64))
-                total = local_marks[-1]
-                prefix = _exclusive_shard_prefix(total, n_shards)
-                # first row of a shard continues the previous shard's
-                # group unless `changed`: group id is still correct
-                # because prefix counts only UP TO this shard
-                gr = prefix + local_marks - 1
-                new_rank = _scatter_back(mi, gr, local, n_shards, valid)
-                new_rank = jnp.where(in_n, new_rank, kmax)
-                return new_rank
-
-            new_rank = jax.lax.cond(done, lambda r: r, do, rank)
-            nmax = jax.lax.pmax(
-                jnp.max(jnp.where(in_n, new_rank, -1)), AXIS)
-            done = done | (nmax == n - 1)
-            return (new_rank, done), None
-
-        # seed round w=1 happens via k=0; ranks densify on first pass
-        (rank, _), _ = jax.lax.scan(
-            round_w, (rank, jnp.bool_(False)),
-            jnp.arange(rounds, dtype=jnp.int64))
-        # SA: route gidx to position rank (rank is a permutation of [0,n))
-        rows = rank.shape[0]
-        sa = _scatter_back(jnp.where(in_n, rank, rows * n_shards + gidx),
-                           gidx, local, n_shards,
-                           jnp.int64(local))
-        # note: _scatter_back drops rows with dest >= n_shards (padding)
-        return rank, sa
-
-    return jax.shard_map(
-        body, mesh=mesh,
-        in_specs=(P(AXIS), P()),
-        out_specs=(P(AXIS), P(AXIS)))(x_sh, n)
-
-
 def sharded_suffix_array(x: np.ndarray, n_devices: int | None = None):
     """Suffix array of ``x`` (uint8, unique terminator recommended) computed
     shard-parallel with int64 global indices. Returns (sa, isa) int64[n].
@@ -281,7 +196,7 @@ def sharded_suffix_array(x: np.ndarray, n_devices: int | None = None):
         jnp.asarray(x_pad.astype(np.int32)),
         NamedSharding(mesh, P(AXIS)))
     with jax.enable_x64(True):
-        rank, sa = _sharded_sa_program(
+        rank, sa, _hist = _sharded_sa_history_program(
             mesh, xd, jnp.asarray([n], jnp.int64), local, n_shards, rounds)
     sa_np = np.asarray(sa)[:n]
     isa_np = np.asarray(rank)[:n]
@@ -408,9 +323,21 @@ def sharded_suffix_array_with_lcp(x: np.ndarray,
                                              "rounds"))
 def _sharded_sa_history_program(mesh, x_sh, n, local: int, n_shards: int,
                                 rounds: int):
-    """_sharded_sa_program + per-round rank history (level k = ranks of
-    2^k-windows, the lift's comparison rows)."""
+    """Sharded doubling sort + per-level rank history (level k = ranks of
+    2^k-windows, the LCP lift's comparison rows).
+
+    QUADRUPLING rounds (VERDICT r4 item 9): each sample sort refines by
+    TWO window-doubling levels at once — keys (rank, rank@+w, rank@+2w,
+    rank@+3w) — so the round count (and with it the full-width sorts and
+    exchanges, the build's cost) halves. Both refined granularities are
+    recovered from the one sorted order, so the history still has every
+    level. Rounds also stop early once ranks are all distinct."""
     kmax = jnp.int64(2**62)
+    n_hist = rounds + 3
+    # ranks are global group ids < R*local: when that bound fits 31 bits
+    # the two granularities ride ONE packed scatter_back; the giant
+    # (> 2^31) regime pays a second routed exchange instead
+    can_pack = local * n_shards < (1 << 31)
 
     def body(x_local, n):
         n = n[0]
@@ -419,52 +346,78 @@ def _sharded_sa_history_program(mesh, x_sh, n, local: int, n_shards: int,
             jnp.arange(local, dtype=jnp.int64)
         in_n = gidx < n
         rank = jnp.where(in_n, x_local.astype(jnp.int64), kmax)
-        hist = jnp.zeros((rounds + 1, local), jnp.int64).at[0].set(rank)
+        hist = jnp.zeros((n_hist, local), jnp.int64).at[0].set(rank)
+        rows_n = n_shards * local
+        ri = jnp.arange(rows_n, dtype=jnp.int64)
 
         def round_w(carry, k):
             rank, hist, done = carry
             w = jnp.int64(1) << k
 
             def do(rank):
-                nxt = _shift_sharded(rank, w, n, local, n_shards,
-                                     jnp.int64(-1))
-                k1 = jnp.where(in_n, rank, kmax)
-                k2 = jnp.where(in_n, nxt, jnp.int64(-1))
-                m1, m2, mi, valid = _sample_sort(
-                    k1, k2, gidx, local, n_shards, kmax)
-                rows = m1.shape[0]
-                live = jnp.arange(rows, dtype=jnp.int64) < valid
-                changed = live & ~(
-                    (m1 == jnp.roll(m1, 1)) & (m2 == jnp.roll(m2, 1)) &
-                    (jnp.arange(rows) > 0))
+                sh = lambda off: _shift_sharded(rank, off, n, local,
+                                                n_shards, jnp.int64(-1))
+                keys = [jnp.where(in_n, rank, kmax),
+                        jnp.where(in_n, sh(w), jnp.int64(-1)),
+                        jnp.where(in_n, sh(2 * w), jnp.int64(-1)),
+                        jnp.where(in_n, sh(3 * w), jnp.int64(-1))]
+                mk, mi, valid = _sample_sort(keys, gidx, local, n_shards,
+                                             kmax)
+                live = ri < valid
+                prevs = [jnp.roll(x, 1) for x in mk]
+                eq12 = (mk[0] == prevs[0]) & (mk[1] == prevs[1])
+                eq_full = eq12 & (mk[2] == prevs[2]) & (mk[3] == prevs[3])
+                changed_m = live & ~(eq12 & (ri > 0))
+                changed_f = live & ~(eq_full & (ri > 0))
+                # cross-shard tie continuation (both granularities): if my
+                # first live key equals the last live key of the nearest
+                # non-empty shard to the left, row 0 continues that group
                 has = valid > 0
                 last_i = jnp.maximum(valid - 1, 0)
                 g_has = jax.lax.all_gather(has, AXIS)
-                g1l = jax.lax.all_gather(m1[last_i], AXIS)
-                g2l = jax.lax.all_gather(m2[last_i], AXIS)
+                g_last = [jax.lax.all_gather(x[last_i], AXIS) for x in mk]
                 t = jnp.arange(n_shards)
                 j = jnp.max(jnp.where((t < s) & g_has, t, -1))
                 jc = jnp.maximum(j, 0)
-                first_same = (j >= 0) & (m1[0] == g1l[jc]) & \
-                    (m2[0] == g2l[jc])
-                changed = changed.at[0].set(live[0] & ~first_same)
-                local_marks = jnp.cumsum(changed.astype(jnp.int64))
-                total = local_marks[-1]
-                prefix = _exclusive_shard_prefix(total, n_shards)
-                gr = prefix + local_marks - 1
-                new_rank = _scatter_back(mi, gr, local, n_shards, valid)
-                return jnp.where(in_n, new_rank, kmax)
+                same12 = (j >= 0) & (mk[0][0] == g_last[0][jc]) & \
+                    (mk[1][0] == g_last[1][jc])
+                same_f = same12 & (mk[2][0] == g_last[2][jc]) & \
+                    (mk[3][0] == g_last[3][jc])
+                changed_m = changed_m.at[0].set(live[0] & ~same12)
+                changed_f = changed_f.at[0].set(live[0] & ~same_f)
 
-            new_rank = jax.lax.cond(done, lambda r: r, do, rank)
-            hist = hist.at[k + 1].set(new_rank)
+                def ranks_of(changed):
+                    lm = jnp.cumsum(changed.astype(jnp.int64))
+                    prefix = _exclusive_shard_prefix(lm[-1], n_shards)
+                    return prefix + lm - 1
+
+                gr_m = ranks_of(changed_m)
+                gr_f = ranks_of(changed_f)
+                if can_pack:
+                    packed = (gr_m << 31) | gr_f
+                    np_ = _scatter_back(mi, packed, local, n_shards, valid)
+                    mid = np_ >> 31
+                    full = np_ & ((jnp.int64(1) << 31) - 1)
+                else:
+                    mid = _scatter_back(mi, gr_m, local, n_shards, valid)
+                    full = _scatter_back(mi, gr_f, local, n_shards, valid)
+                return (jnp.where(in_n, mid, kmax),
+                        jnp.where(in_n, full, kmax))
+
+            mid_rank, full_rank = jax.lax.cond(
+                done, lambda r: (r, r), do, rank)
+            hist = jax.lax.dynamic_update_slice(
+                hist, mid_rank[None], (k + 1, 0))
+            hist = jax.lax.dynamic_update_slice(
+                hist, full_rank[None], (k + 2, 0))
             nmax = jax.lax.pmax(
-                jnp.max(jnp.where(in_n, new_rank, -1)), AXIS)
+                jnp.max(jnp.where(in_n, full_rank, -1)), AXIS)
             done = done | (nmax == n - 1)
-            return (new_rank, hist, done), None
+            return (full_rank, hist, done), None
 
+        ks = jnp.arange(0, rounds, 2, dtype=jnp.int64)
         (rank, hist, _), _ = jax.lax.scan(
-            round_w, (rank, hist, jnp.bool_(False)),
-            jnp.arange(rounds, dtype=jnp.int64))
+            round_w, (rank, hist, jnp.bool_(False)), ks)
         rows = rank.shape[0]
         sa = _scatter_back(jnp.where(in_n, rank, rows * n_shards + gidx),
                            gidx, local, n_shards, jnp.int64(local))
