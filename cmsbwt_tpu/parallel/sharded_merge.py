@@ -735,11 +735,42 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
         while (1 << rounds) < max(lh * R, 2):
             rounds += 1
 
+        # prewarm (VERDICT r4 items 2/7): stage A and the runs stage have
+        # shapes fully known at entry — compile them concurrently on the
+        # background threads while the uploads land (the pair-dependent
+        # good/exact stages stay dispatch-compiled; their shapes need
+        # total_pairs). The cap factor reaches the trace through the
+        # D.set_cap_factor call INSIDE each program, so the prewarm
+        # thread traces the same exchange grids the dispatch will use.
+        from ..utils import prewarm as _pw
+        wave = _pw.Wave()
+        cfa0 = None if cf >= R else cf
+        if _pw.enabled():
+            import jax as _j
+            NS = NamedSharding(mesh, P(AXIS))
+            NS2 = NamedSharding(mesh, P(None, AXIS))
+            NSr = NamedSharding(mesh, P())
+            GH, GN = lh * R, ln_ * R
+            hv = lambda: _j.ShapeDtypeStruct((GH,), jnp.int64, sharding=NS)
+            nv = lambda: _j.ShapeDtypeStruct((GN,), jnp.int64, sharding=NS)
+            sc = _j.ShapeDtypeStruct((4,), jnp.int64, sharding=NSr)
+            wave.add("stage_a", _stage_a_program, mesh, hv(), hv(), hv(),
+                     hv(), hv(), nv(), nv(), nv(), sc, x64=True,
+                     lh=lh, ln_=ln_, R=R, rounds=rounds, cap_factor=cfa0)
+            wave.add("stage_runs", _stage_runs, mesh,
+                     _j.ShapeDtypeStruct((len(CLS_KEYS), GH), jnp.int64,
+                                         sharding=NS2),
+                     hv(), hv(), hv(), nv(), hv(), nv(), nv(), nv(), sc,
+                     x64=True, lh=lh, ln_=ln_, R=R,
+                     rle_quirk=bool(rle_quirk), cap_factor=cfa0)
+
         # capacity-bounded exchanges with overflow retry (parallel/dist.py
         # capacity contract): a doubled factor re-runs the merge; factor
         # >= R is exactly the old full-local grid, so the chain terminates
         while True:
             cfa = None if cf >= R else cf
+            if cfa == cfa0:
+                wave.ready("stage_a")
             (cls_stack, pairs_stack, meta_sh, member_rank_sorted,
              cls_of_slot, sa_ord, bwt_heads, tails_cnt,
              slot_base) = _stage_a_program(
@@ -773,6 +804,8 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
                     cf *= 2
                     continue
                 counter = counter + counter2
+            if cfa == cfa0:
+                wave.ready("stage_runs")
             rl, rc, n_runs_sh = _stage_runs(
                 mesh, cls_stack, sa_ord, slot_base, counter,
                 tails_cnt, bwt_heads, args[5], args[6], args[7], scal,
