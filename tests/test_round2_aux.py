@@ -158,7 +158,8 @@ def test_reference_index_checkpoint(tmp_path, monkeypatch):
     cfg = Config(filename=str(lst), outname=str(tmp_path / "i1"),
                  backend="host", checkpoint_dir=str(ck))
     compute_bwt(cfg)
-    assert (ck / "ref_index.npz").exists()
+    # filenames embed the input fingerprint (concurrency-safe slots)
+    assert list(ck.glob("ref_index.*.npz"))
 
     def boom(*a, **k):
         raise AssertionError("index rebuilt despite checkpoint")
