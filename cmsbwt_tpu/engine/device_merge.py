@@ -364,37 +364,41 @@ def tail_good_dev(cls, pairs, slot_base, h, n, h_pad: int, p_pad: int):
     pidx = jnp.arange(p_pad, dtype=jnp.int32)
     total = pairs["total"].astype(jnp.int32)
     pvalid = pidx < total
-    # segment-expand src class + base offset via scatter + cummax
-    starts = jnp.zeros(p_pad, jnp.int32).at[
-        jnp.where(cvalid & (cnt > 0), off, p_pad)].max(
-        cidx + 1, mode="drop")
-    src_cls = jax.lax.cummax(starts) - 1
-    src_cls = jnp.clip(src_cls, 0, h_pad - 1)
-
-    # packed segment fills: value ((off+1) << 33) | payload scattered at
-    # each class's first pair, cummax-filled; payload <= 33 bits, marker
-    # (off+1) <= 2^27 keeps the pack in 60 bits
-    def seg_fill(payload):
-        with jax.enable_x64(True):
-            packed = ((off.astype(jnp.int64) + 1) << 33) | \
-                payload.astype(jnp.int64)
-            at = jnp.where(cvalid & (cnt > 0), off, p_pad)
-            base = jnp.full(p_pad, -1, jnp.int64).at[at].max(
-                packed, mode="drop")
-            return jax.lax.cummax(base) & ((jnp.int64(1) << 33) - 1)
-
+    # ONE batched (5, p_pad) packed scatter+cummax segment fill: value
+    # ((off+1) << 33) | payload scattered at each class's first pair,
+    # cummax-filled along the pair axis; payload <= 33 bits, marker
+    # (off+1) < 2^30 keeps the pack in 63 bits. Scatter cost is per-UPDATE
+    # (~160 ms per 1.4M-update scatter on this chip, measured), so five
+    # independent fills were 5x the price of one 5-row fill with shared
+    # indices; gathers are no refuge (a p_pad monotone gather measured
+    # ~95 ms and fuses badly).
+    with jax.enable_x64(True):
+        at = jnp.where(cvalid & (cnt > 0), off, p_pad)
+        mk = (off.astype(jnp.int64) + 1) << 33
+        M33 = (jnp.int64(1) << 33) - 1
+        pay = jnp.stack([
+            (pairs["pair_lo"] - off + p_pad).astype(jnp.int64),
+            ((cls["length"].astype(jnp.int64)
+              + cls["pos"].astype(jnp.int64)) << 1)
+            | cls["smaller"].astype(jnp.int64),
+            cls["isa_next"].astype(jnp.int64),
+            cls["size"].astype(jnp.int64),
+            cidx.astype(jnp.int64) + 1,
+        ])
+        base = jnp.full((5, p_pad), -1, jnp.int64).at[:, at].max(
+            mk[None, :] | pay, mode="drop")
+        filled = jax.lax.cummax(base, axis=1) & M33
+        delta1 = filled[0]
+        s1s = filled[1]
     # b_idx = pidx + (pair_lo - off); biased by p_pad to stay non-negative
-    delta1 = seg_fill(pairs["pair_lo"] - off + p_pad)
     b_idx = (pidx + delta1 - p_pad).astype(jnp.int32)
     b = pairs["bucket_pos"][jnp.clip(b_idx, 0, h_pad - 1)]
     # q_len = (length + pos) - b; smaller rides the low bit
-    s1s = seg_fill(((cls["length"].astype(jnp.int64)
-                     + cls["pos"].astype(jnp.int64)) << 1)
-                   | cls["smaller"].astype(jnp.int64))
     q_len = ((s1s >> 1) - b.astype(jnp.int64)).astype(jnp.int32)
     q_small = (s1s & 1) != 0
-    q_isa = seg_fill(cls["isa_next"]).astype(jnp.int32)
-    q_size = seg_fill(cls["size"]).astype(jnp.int32)
+    q_isa = filled[2].astype(jnp.int32)
+    q_size = filled[3].astype(jnp.int32)
+    src_cls = jnp.clip(filled[4].astype(jnp.int32) - 1, 0, h_pad - 1)
     q_k = jnp.where(q_small, q_len, 2 * n - q_len)
     # global join: targets = classes (pos, K*(n+1)+isa), queries = (b, qk..).
     # The tie flag (queries sort before equal targets — the rev_fill below
