@@ -731,31 +731,51 @@ def runs_emit_dev(cls, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
     bkey = jnp.where(big, ridx2, INT_MAX)
     _, big_idx, big_len, big_chr = jax.lax.sort(
         (bkey, ridx2, rl, rc), num_keys=1)
-    # big-run overflow list truncated to a STATIC cap in-program: a
-    # dynamic slice-to-bucket on the host side is its own jit program
-    # (cold compile round trip), while a full-L download of three arrays
-    # measured ~60 MB (+1-2 s on the host link) at the 20 Mchar config.
-    # n_big > cap falls back to the full arrays host-side (rare).
+    # big-run overflow list truncated to a STATIC cap in-program, packed
+    # (idx << 32 | len) + char and TIERED like the main run list: n_big
+    # is usually tiny (thousands) while the old fixed L/64 cap shipped
+    # ~5 MB of mostly-pad rows at the 100 Mchar config. A dynamic
+    # slice-to-bucket on the host side would be its own jit program
+    # (cold compile round trip). n_big > cap falls back to the full
+    # arrays host-side (rare).
     big_cap = min(L, max(1024, L >> 6))
-    bsl = lambda a: jax.lax.dynamic_slice(a, (0,), (big_cap,))
-    # static halving prefixes of the packed run list: the merged runs are
-    # compacted at the front, but R is data-dependent while download cost
-    # follows the BUFFER size — the host fetches the smallest prefix
+    with jax.enable_x64(True):
+        big_pack = (big_idx.astype(jnp.int64) << 32) | \
+            big_len.astype(jnp.int64)
+    big_tiers = tuple(
+        (jax.lax.dynamic_slice(big_pack, (0,), (t,)),
+         jax.lax.dynamic_slice(big_chr, (0,), (t,)).astype(jnp.uint8))
+        for t in _big_tier_sizes(big_cap))
+    # static geometric prefixes of the packed run list: the merged runs
+    # are compacted at the front, but R is data-dependent while download
+    # cost follows the BUFFER size — the host fetches the smallest prefix
     # covering R (a device-side slice-to-R-bucket would be its own jit
     # program = a cold compile round trip at the pipeline's very end)
     p8_tiers = tuple(jax.lax.dynamic_slice(packed8, (0,), (t,))
                      for t in _p8_tier_sizes(L))
-    return (p8_tiers, bsl(big_idx), bsl(big_len),
-            bsl(big_chr).astype(jnp.uint8),
+    return (p8_tiers, big_tiers,
             rl, rc.astype(jnp.uint8),
             jnp.stack([n_groups, maxlen, n_big]))
 
 
 def _p8_tier_sizes(L: int) -> list[int]:
-    """Halving prefix lengths [L, L/2, ... >= 2^16], at most 6 tiers."""
+    """Geometric prefix lengths [L, L/1.25, ... >= 2^16], at most 12
+    tiers. The host fetches the smallest tier covering the R compacted
+    runs; on a ~7 MB/s link the old halving tiers overshot the download
+    by up to 2x (e.g. 18 MB fetched for a 13.4 MB run list at the
+    100 Mchar config)."""
     tiers = [L]
-    while tiers[-1] > (1 << 16) and len(tiers) < 6:
-        tiers.append(tiers[-1] // 2)
+    while tiers[-1] > (1 << 16) and len(tiers) < 12:
+        tiers.append(int(tiers[-1] / 1.25))
+    return tiers
+
+
+def _big_tier_sizes(L: int) -> list[int]:
+    """Geometric prefix lengths for the big-run overflow list (starts at
+    the big cap, >= 2^10, at most 8 tiers)."""
+    tiers = [L]
+    while tiers[-1] > (1 << 10) and len(tiers) < 8:
+        tiers.append(int(tiers[-1] / 4))
     return tiers
 
 
@@ -918,7 +938,7 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
         mark("tail_exact", counter)
 
     wave.ready("runs_emit")
-    (p8_tiers, big_idx, big_len, big_chr, rl_d, rc_d,
+    (p8_tiers, big_tiers, rl_d, rc_d,
      scalars) = runs_emit_dev(
         cls, sa_ord, slot_base, counter, tails_cnt,
         bwt_heads,
@@ -931,7 +951,7 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
     big_cap = min(L_full, max(1024, L_full >> 6))
     if n_big <= big_cap:
         # 1 byte/run; runs with len >= 64 or a non-ACGT char come from
-        # the compacted (index, len, char) overflow list
+        # the compacted packed (idx << 32 | len, char) overflow tiers
         tier = 0
         for i, t in enumerate(_p8_tier_sizes(L_full)):
             if t >= n_nz:
@@ -940,10 +960,14 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
         rl = (p_np >> 2).astype(np.int64)
         rc = _ACGT[p_np & 3]
         if n_big:
-            bi_np = _get(big_idx)[:n_big]
-            bl_np = _get(big_len)[:n_big]
-            bc_np = _get(big_chr)[:n_big]
-            rl[bi_np] = bl_np.astype(np.int64)
+            btier = 0
+            for i, t in enumerate(_big_tier_sizes(big_cap)):
+                if t >= n_big:
+                    btier = i
+            bp_np = _get(big_tiers[btier][0])[:n_big]
+            bc_np = _get(big_tiers[btier][1])[:n_big]
+            bi_np = (bp_np >> 32).astype(np.int64)
+            rl[bi_np] = bp_np & 0xFFFFFFFF
             rc[bi_np] = bc_np
     else:
         rl = _get(rl_d)[:n_nz].astype(np.int64)

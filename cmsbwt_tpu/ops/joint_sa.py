@@ -96,6 +96,7 @@ def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int,
     branch is a lax.switch, shapes are static.
     """
     sl = WIDE_SEED_LEVEL if wide else SEED_LEVEL
+    assert m < (1 << 30), "rank+flag payload packing assumes m < 2^30"
     levels = n_levels(m)
     idx = jnp.arange(m, dtype=jnp.int32)
     U = min(m, max(64, m // 16))  # compacted-round capacity (static)
@@ -191,12 +192,15 @@ def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int,
                 [jnp.ones(1, bool),
                  (k_s[1:] != k_s[:-1]) | (v_s[1:] != v_s[:-1])])
     split_lv = jnp.where(ch_b, jnp.int32(sl), 0)
-    # position-ranks + per-element resolved flag (singleton group)
+    # position-ranks + per-element resolved flag (singleton group), packed
+    # into ONE payload for the inversion sort (sort cost scales with
+    # operand count; rank < m < 2^30 leaves room for the flag bit)
     seed_rank_s = jax.lax.cummax(jnp.where(ch_b, idx, -1))
     sing_s = ch_b & jnp.concatenate([ch_b[1:], jnp.ones(1, bool)])
-    _, rank, resolved = jax.lax.sort(
-        (ord_s, seed_rank_s, sing_s.astype(jnp.int32)), num_keys=1)
-    resolved = resolved != 0
+    _, packed_rs = jax.lax.sort(
+        (ord_s, (seed_rank_s << 1) | sing_s.astype(jnp.int32)), num_keys=1)
+    rank = packed_rs >> 1
+    resolved = (packed_rs & 1) != 0
     u0 = (m - jnp.sum(sing_s.astype(jnp.int32))).astype(jnp.int32)
 
     # quadrupling rounds: each sort refines by TWO doubling levels at once
@@ -245,11 +249,18 @@ def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int,
             full_sorted = jax.lax.cummax(jnp.where(ch_full_b, idx, -1))
             sing = ch_full_b & jnp.concatenate(
                 [ch_full_b[1:], jnp.ones(1, bool)])
-            _, mid_rank, full_rank, res = jax.lax.sort(
-                (o_s, mid_sorted, full_sorted, sing.astype(jnp.int32)),
-                num_keys=1)
+            # inversion sort with ONE packed payload (ranks < m < 2^30)
+            with jax.enable_x64(True):
+                pk = (mid_sorted.astype(jnp.int64) << 31) | \
+                    (full_sorted.astype(jnp.int64) << 1) | \
+                    sing.astype(jnp.int64)
+                _, pk_t = jax.lax.sort((o_s, pk), num_keys=1)
+                mid_rank = (pk_t >> 31).astype(jnp.int32)
+                full_rank = ((pk_t >> 1) &
+                             ((jnp.int64(1) << 30) - 1)).astype(jnp.int32)
+                res = (pk_t & 1) != 0
             u_new = (m - jnp.sum(sing.astype(jnp.int32))).astype(jnp.int32)
-            return (mid_rank, full_rank, o_s, lv, res != 0, u_new,
+            return (mid_rank, full_rank, o_s, lv, res, u_new,
                     jnp.zeros((), bool), ti_c, rank_c, live_c)
 
         def do_comp(args):

@@ -397,15 +397,20 @@ def _assemble(sa, pred_pos, succ_pos, a, b, n, sn, m: int, n_pad: int,
     choose_succ = b >= a
     pos_slot = jnp.where(choose_succ, succ_pos, pred_pos)
     len_slot = jnp.maximum(a, b)
-    # collection text order via sort (t is a permutation of [0, sn))
+    # collection text order via sort (t is a permutation of [0, sn));
+    # (pos, len, smaller) share one packed payload — pos/len < 2^30
     t = sa - n_pad
     key = jnp.where(is_coll, t, INT_MAX)
-    _, pos_txt, len_txt, sml_txt = jax.lax.sort(
-        (key, pos_slot, len_slot, choose_succ.astype(jnp.int32)),
-        num_keys=1)
-    pos = jax.lax.dynamic_slice(pos_txt, (0,), (sn_pad,))
-    length = jax.lax.dynamic_slice(len_txt, (0,), (sn_pad,))
-    smaller = jax.lax.dynamic_slice(sml_txt, (0,), (sn_pad,)) != 0
+    with jax.enable_x64(True):
+        pls = (pos_slot.astype(jnp.int64) << 31) | \
+            (jnp.clip(len_slot, 0, (1 << 30) - 1).astype(jnp.int64) << 1) \
+            | choose_succ.astype(jnp.int64)
+        _, pls_txt = jax.lax.sort((key, pls), num_keys=1)
+        pls_t = jax.lax.dynamic_slice(pls_txt, (0,), (sn_pad,))
+        pos = (pls_t >> 31).astype(jnp.int32)
+        length = ((pls_t >> 1) & ((jnp.int64(1) << 30) - 1)) \
+            .astype(jnp.int32)
+        smaller = (pls_t & 1) != 0
     # reference extraction: ref slots in SA order, then invert by sorting
     key_ref = jnp.where(is_ref, r, INT_MAX)
     _, ref_sa_full = jax.lax.sort((key_ref, sa), num_keys=1)
@@ -1193,9 +1198,11 @@ def ms_dense_heads_blocked_on_device(x_aug: np.ndarray, sx: np.ndarray,
                     x_raw_dev, _put(sx_u8), _put_i32(n),
                     _put_i32(len(sx_blk)), _put_i32(sep_base),
                     n_pad, bs_pad)
+            mark("  blk_build", b)
             wave.ready("jsa")
             sa, isa, hist, packs, k_star, split_lv = _joint_sa(
                 b, sp, m, wide)
+            mark("  blk_jsa", sa)
             wave.ready("irr")
             stats_dev, ai_all, bi_all, lv_all = _irreducible_slots(
                 b, sp, sa, isa, split_lv, _put_i32(n),
@@ -1203,8 +1210,10 @@ def ms_dense_heads_blocked_on_device(x_aug: np.ndarray, sx: np.ndarray,
             stats = _get(stats_dev)
             rho = int(stats[0])
             rho_pad = min(_pow2_pad(rho), m)
+            mark("  blk_irr(rho=%d)" % rho)
             ell = _lift_orchestrated(hist, packs, ai_all, bi_all, lv_all,
                                      isa, stats, m, rho_pad)
+            mark("  blk_lift", ell)
             n_t = _put_i32(n)
             wave.ready("nbr")
             pred_pos, succ_pos, av, bv = _neighbors(sa, ell, n_t, m)
@@ -1212,6 +1221,7 @@ def ms_dense_heads_blocked_on_device(x_aug: np.ndarray, sx: np.ndarray,
             pos, length, smaller, rsa, risa = _assemble(
                 sa, pred_pos, succ_pos, av, bv, n_t,
                 _put_i32(len(sx_blk)), m, n_pad, bs_pad)
+            mark("  blk_nbr_asm", pos)
             pb0 = _put_i32(SEPARATOR if prev_b0v is None else prev_b0v)
             wave.ready("post_block")
             (pos, length, smaller, is_head, char,
@@ -1219,7 +1229,11 @@ def ms_dense_heads_blocked_on_device(x_aug: np.ndarray, sx: np.ndarray,
                 b, pos, length, smaller, n_t, _put_i32(emit_len),
                 _put_i32(prev_pos0), pb0, n_pad, bs_pad)
             h_b, viol, last_pos = (int(v) for v in _get(scalars))
+            mark("  blk_post")
             if viol and end < sn:
+                import sys as _sys
+                print(f"#   block@{b0}: context overflow, retry "
+                      f"ctx {ctx} -> {ctx * 2}", file=_sys.stderr)
                 ctx *= 2
                 continue
             break
