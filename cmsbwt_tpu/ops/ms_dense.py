@@ -496,6 +496,32 @@ class DenseHeadsResult:
     irreducible: int
 
 
+
+class _SepCounter:
+    """Incremental separators-before-position counter.
+
+    np.cumsum over a 100M-element mask measures ~13 s single-core on the
+    bench host (numpy's pairwise cumsum path); per-block count_nonzero is
+    SIMD and O(block). Block starts are non-decreasing across the loop
+    (retries re-enter with the same b0).
+    """
+
+    def __init__(self, sx):
+        self.sx = sx
+        self.pos = 0
+        self.cnt = 0
+
+    def before(self, b0: int) -> int:
+        if b0 < self.pos:
+            self.pos = 0
+            self.cnt = 0
+        if b0 > self.pos:
+            self.cnt += int(np.count_nonzero(
+                self.sx[self.pos:b0] == SEPARATOR))
+            self.pos = b0
+        return self.cnt
+
+
 def _pow2_pad(x: int) -> int:
     return 1 << max(4, int(np.ceil(np.log2(max(x, 1)))))
 
@@ -945,8 +971,8 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
     sn = len(sx)
     if ctx_chars is None:
         ctx_chars = max(1 << 16, block_chars // 8)
-    s_total = int((sx == SEPARATOR).sum())
-    sep_cum = np.cumsum(sx == SEPARATOR)   # separators before position t
+    s_total = int(np.count_nonzero(sx == SEPARATOR))
+    sep_cum = _SepCounter(sx)
     n_pad = bucket_size(n)
     ckpt = _block_ckpt(checkpoint_dir, fingerprint, block_chars)
     progress = _block_progress(sn)
@@ -1002,7 +1028,7 @@ def ms_dense_heads_blocked(x_aug: np.ndarray, sx: np.ndarray,
             # joint string built on device with GLOBAL separator numbering
             sx_u8 = np.zeros(bs_pad, np.uint8)
             sx_u8[: len(sx_blk)] = sx_blk
-            sep_base = int(sep_cum[b0 - 1]) if b0 > 0 else 0
+            sep_base = sep_cum.before(b0)
             wave.ready("build")
             b, sp = _build_joint_device(
                 x_dev, jnp.asarray(sx_u8), jnp.int32(n),
@@ -1133,7 +1159,7 @@ def ms_dense_heads_blocked_on_device(x_aug: np.ndarray, sx: np.ndarray,
     sn = len(sx)
     if ctx_chars is None:
         ctx_chars = max(1 << 16, block_chars // 8)
-    sep_cum = np.cumsum(sx == SEPARATOR)
+    sep_cum = _SepCounter(sx)
     n_pad = bucket_size(n)
     x_u8 = np.zeros(n_pad, np.uint8)
     x_u8[:n] = x_aug
@@ -1170,9 +1196,10 @@ def ms_dense_heads_blocked_on_device(x_aug: np.ndarray, sx: np.ndarray,
             m = n_pad + bs_pad
             sx_u8 = np.zeros(bs_pad, np.uint8)
             sx_u8[: len(sx_blk)] = sx_blk
-            sep_base = int(sep_cum[b0 - 1]) if b0 > 0 else 0
+            sep_base = sep_cum.before(b0)
             psx = _pack2_host(sx_u8, len(sx_blk)) if px is not None else None
             wide = False
+            mark("    blk_hostpack")
             wave.ready("build")
             if psx is not None:
                 exc_pos = np.concatenate([px[1], psx[1] + np.int32(n_pad)])
@@ -1187,8 +1214,10 @@ def ms_dense_heads_blocked_on_device(x_aug: np.ndarray, sx: np.ndarray,
                 ev[:len(exc_val)] = exc_val
                 if x_packed_dev is None:
                     x_packed_dev = _put(px[0])
+                up = _put(psx[0])
+                mark("    blk_put", up)
                 b, sp = _build_joint_device_packed(
-                    x_packed_dev, _put(psx[0]), _put(ep), _put(ev),
+                    x_packed_dev, up, _put(ep), _put(ev),
                     _put_i32(n), _put_i32(len(sx_blk)),
                     _put_i32(sep_base), n_pad, bs_pad, e_pad)
             else:

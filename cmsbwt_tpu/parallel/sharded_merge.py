@@ -702,6 +702,9 @@ def _spec(mesh, *arrs):
     return [jax.device_put(a, NamedSharding(mesh, P(AXIS))) for a in arrs]
 
 
+_CF_MEMO: dict = {}  # mesh size -> last clean capacity factor
+
+
 def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
                         head_char, ref_sa, ref_isa, ref_bwt,
                         h: int, n: int, sn: int, d: int, rle_quirk: bool,
@@ -718,7 +721,12 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
     R = int(mesh.devices.size)
     lh = -(-max(h + 2, 16) // R)
     ln_ = -(-max(n + 2, 16) // R)
-    cf = int(_os.environ.get("CMSBWT_SHARD_CAP_FACTOR", "4"))
+    # capacity factor: env default, raised to the last factor that ran
+    # clean at this mesh size — an overflow retry re-runs whole stage
+    # programs AND invalidates their prewarmed compiles, so remembering
+    # the working factor pays twice on repeat runs
+    cf = max(int(_os.environ.get("CMSBWT_SHARD_CAP_FACTOR", "4")),
+             _CF_MEMO.get(R, 0))
     with jax.enable_x64(True):
         args = [
             D.shard(mesh, np.asarray(head_t, np.int64)[:h], 0, lh),
@@ -767,6 +775,8 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
         # capacity-bounded exchanges with overflow retry (parallel/dist.py
         # capacity contract): a doubled factor re-runs the merge; factor
         # >= R is exactly the old full-local grid, so the chain terminates
+        from ..ops.ms_dense import _stage_timer
+        mark = _stage_timer()
         while True:
             cfa = None if cf >= R else cf
             if cfa == cfa0:
@@ -777,6 +787,7 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
                 mesh, *args, scal, lh=lh, ln_=ln_, R=R, rounds=rounds,
                 cap_factor=cfa)
             meta_np = _gg(meta_sh)[:4]
+            mark("shm_stage_a(cf=%s)" % cfa)
             if int(meta_np[3]):
                 cf *= 2
                 continue
@@ -788,6 +799,7 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
                 mesh, cls_stack, pairs_stack, slot_base, meta, scal,
                 lh=lh, lp=lp, R=R, cap_factor=cfa)
             stats_np = _gg(stats_sh)[:3]
+            mark("shm_stage_good")
             if int(stats_np[2]):
                 cf *= 2
                 continue
@@ -800,6 +812,7 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
                     member_rank_sorted, cls_of_slot, e_pidx, e_fnd,
                     src_cls, jnp.asarray([n_exact, h], jnp.int64),
                     lh=lh, lp=lp, lm=lm, R=R, cap_factor=cfa)
+                mark("shm_stage_exact")
                 if int(_gg(eovf_sh)[0]):
                     cf *= 2
                     continue
@@ -812,13 +825,16 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
                 lh=lh, ln_=ln_, R=R, rle_quirk=bool(rle_quirk),
                 cap_factor=cfa)
             nr_np = _gg(n_runs_sh)[:2]
+            mark("shm_stage_runs")
             if int(nr_np[1]):
                 cf *= 2
                 continue
             n_runs = int(nr_np[0])
+            _CF_MEMO[R] = cf
             break
         run_len = _gg(rl)[:n_runs].astype(np.int64)
         run_char = _gg(rc)[:n_runs].astype(np.uint8)
+        mark("shm_download")
     return run_len, run_char
 
 
