@@ -691,7 +691,23 @@ def _runs_emit(cls, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
     n_runs = _tot(is_last.astype(I64))
     key2 = jnp.where(is_last, rows, BIG)
     _, (rl, rc) = dsort([key2], [lenm, chr_s], le, R, BIG)
-    return rl, rc, n_runs
+    # 1-byte packed form + globally compacted big-run overflow (the
+    # device merge's download scheme, device_merge.runs_emit_dev): runs
+    # with len < 64 and an ACGT char ship as 6-bit len + 2-bit code; the
+    # rest ride a (global idx, len<<8|char) list dsort-compacted to the
+    # global front. Host fetches geometric prefixes (tier slicing happens
+    # per-shard in _stage_runs).
+    rvalid = rows < n_runs
+    code = ((rc == 67).astype(I64) + 2 * (rc == 71).astype(I64)
+            + 3 * (rc == 84).astype(I64))
+    is_acgt = (rc == 65) | (rc == 67) | (rc == 71) | (rc == 84)
+    big = rvalid & ((rl >= 64) | ~is_acgt)
+    n_big = _tot(big.astype(I64))
+    packed8 = jnp.where(big | ~rvalid, 0,
+                        (rl << 2) | code).astype(jnp.uint8)
+    (bkey,), (bpay,) = dsort([jnp.where(big, rows, BIG)],
+                             [(rl << 8) | rc], le, R, BIG)
+    return rl, rc, n_runs, packed8, bkey, bpay, n_big
 
 
 # ---------------------------------------------------------------------------
@@ -819,21 +835,57 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
                 counter = counter + counter2
             if cfa == cfa0:
                 wave.ready("stage_runs")
-            rl, rc, n_runs_sh = _stage_runs(
+            rl, rc, n_runs_sh, p8_tiers, big_tiers = _stage_runs(
                 mesh, cls_stack, sa_ord, slot_base, counter,
                 tails_cnt, bwt_heads, args[5], args[6], args[7], scal,
                 lh=lh, ln_=ln_, R=R, rle_quirk=bool(rle_quirk),
                 cap_factor=cfa)
-            nr_np = _gg(n_runs_sh)[:2]
+            nr_np = _gg(n_runs_sh)[:3]
             mark("shm_stage_runs")
             if int(nr_np[1]):
                 cf *= 2
                 continue
             n_runs = int(nr_np[0])
+            n_big = int(nr_np[2])
             _CF_MEMO[R] = cf
             break
-        run_len = _gg(rl)[:n_runs].astype(np.int64)
-        run_char = _gg(rc)[:n_runs].astype(np.uint8)
+        # packed tier download (device_merge download scheme): tier t
+        # carries each shard's first t local rows; shard s of the run
+        # list owns global rows [s*le, (s+1)*le)
+        from ..engine.device_merge import _ACGT, _big_tier_sizes, \
+            _p8_tier_sizes
+        le = 4 * lh + ln_
+        big_cap = min(le, max(1024, le >> 6))
+        bts = _big_tier_sizes(big_cap)
+        bt_cap = bts[0]
+        if n_big <= bt_cap:
+            need0 = min(le, n_runs)  # shard 0 carries the largest prefix
+            t_sizes = _p8_tier_sizes(le)
+            t = t_sizes[0]
+            for ts_ in t_sizes:
+                if ts_ >= need0:
+                    t = ts_
+            p_np = np.asarray(p8_tiers[t_sizes.index(t)])
+            parts = [p_np[s * t: s * t + max(
+                0, min(n_runs - s * le, t))] for s in range(R)]
+            p_all = np.concatenate(parts) if R > 1 else \
+                p_np[:min(n_runs, t)]
+            run_len = (p_all >> 2).astype(np.int64)
+            run_char = _ACGT[p_all & 3]
+            if n_big:
+                bt = bt_cap
+                for ts_ in bts:
+                    if ts_ >= n_big:
+                        bt = ts_
+                bi = bts.index(bt)
+                # big rows are global-front-compacted: shard 0's prefix
+                bk = np.asarray(big_tiers[bi][0])[:n_big]
+                bp = np.asarray(big_tiers[bi][1])[:n_big]
+                run_len[bk] = bp >> 8
+                run_char[bk] = (bp & 255).astype(np.uint8)
+        else:  # rare: too many big runs for the overflow tiers
+            run_len = _gg(rl)[:n_runs].astype(np.int64)
+            run_char = _gg(rc)[:n_runs].astype(np.uint8)
         mark("shm_download")
     return run_len, run_char
 
@@ -972,6 +1024,11 @@ def _stage_runs(mesh, cls_stack, sa_ord, slot_base, counter, tails_cnt,
                 cap_factor=None):
     D.set_cap_factor(cap_factor)
 
+    from ..engine.device_merge import _big_tier_sizes, _p8_tier_sizes
+    le = 4 * lh + ln_
+    p8_ts = _p8_tier_sizes(le)
+    big_ts = _big_tier_sizes(min(le, max(1024, le >> 6)))
+
     def body(cls_stack, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
              ref_sa, ref_isa, ref_bwt, scal):
         h, n, sn, d = scal[0], scal[1], scal[2], scal[3]
@@ -980,16 +1037,28 @@ def _stage_runs(mesh, cls_stack, sa_ord, slot_base, counter, tails_cnt,
         n_classes = _tot((cls_stack[0] < BIG).astype(I64))
         cls = _unstack_cls(cls_stack, n_classes)
         with D.overflow_scope() as flags:
-            rl, rc, n_runs = _runs_emit(cls, sa_ord, slot_base, counter,
-                                        tails_cnt, bwt_heads, ref_sa,
-                                        ref_isa, ref_bwt, d, n, h, lh,
-                                        ln_, R, rle_quirk)
+            (rl, rc, n_runs, packed8, bkey, bpay,
+             n_big) = _runs_emit(cls, sa_ord, slot_base, counter,
+                                 tails_cnt, bwt_heads, ref_sa,
+                                 ref_isa, ref_bwt, d, n, h, lh,
+                                 ln_, R, rle_quirk)
             ovf = D.overflow_any(flags)
-        return rl, rc, jnp.stack([n_runs, ovf])
+        # per-shard geometric prefixes: tier t of the packed list holds
+        # each shard's first t local rows (host reassembles by shard)
+        p8_tiers = tuple(jax.lax.dynamic_slice(packed8, (0,), (t,))
+                         for t in p8_ts)
+        big_tiers = tuple(
+            (jax.lax.dynamic_slice(bkey, (0,), (t,)),
+             jax.lax.dynamic_slice(bpay, (0,), (t,)))
+            for t in big_ts)
+        return (rl, rc, jnp.stack([n_runs, ovf, n_big]),
+                p8_tiers, big_tiers)
 
     return jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(None, AXIS),) + (P(AXIS),) * 8 + (P(),),
-        out_specs=(P(AXIS), P(AXIS), P(AXIS)))(
+        out_specs=(P(AXIS), P(AXIS), P(AXIS),
+                   tuple(P(AXIS) for _ in p8_ts),
+                   tuple((P(AXIS), P(AXIS)) for _ in big_ts)))(
         cls_stack, sa_ord, slot_base, counter, tails_cnt, bwt_heads,
         ref_sa, ref_isa, ref_bwt, scal)
