@@ -363,8 +363,9 @@ def compute_bwt(cfg: Config) -> dict:
         # Covers the unblocked scan AND the single-device blocked scan
         # (ms_dense_heads_blocked_on_device); checkpointing, sn_big, and
         # the multi-device parallel mode still need host arrays
+        dr_mb = _resolve_merge_backend(cfg.merge_backend)
         device_resident = (
-            _resolve_merge_backend(cfg.merge_backend) == "device"
+            dr_mb in ("device", "sharded")
             and not cfg.checkpoint_dir and not sn_big
             and not (block_chars and cfg.dense_parallel))
         if device_resident:
@@ -380,21 +381,36 @@ def compute_bwt(cfg: Config) -> dict:
                 from .device_merge import merge_prewarm
                 mw["wave"] = merge_prewarm(h_pad, n_pad, rq)
 
+            hook = _merge_hook if dr_mb == "device" else None
             with timer.phase("ms_scan"), maybe_jax_trace("ms_scan"):
                 if block_chars:
                     ddres = ms_dense_heads_blocked_on_device(
                         x_aug, coll.sx, block_chars=block_chars,
                         ctx_chars=cfg.dense_ctx_chars,
-                        merge_hook=_merge_hook)
+                        merge_hook=hook)
                 else:
                     ddres = ms_dense_heads_on_device(
-                        x_aug, coll.sx, merge_hook=_merge_hook)
-            with timer.phase("merge_device"):
-                from .device_merge import merge_heads_device_resident
-                run_len, run_char, counter = merge_heads_device_resident(
-                    ddres, coll.d, rq,
-                    want_counter=len(x_aug) < cfg.small_ref_threshold,
-                    wave=mw.get("wave"))
+                        x_aug, coll.sx, merge_hook=hook)
+            if dr_mb == "sharded":
+                # device-resident arrays feed the mesh merge directly
+                # (sharded_merge reshards on-chip via dist.shard_dev)
+                from ..parallel.sharded_merge import merge_heads_sharded
+                with timer.phase("merge_sharded"):
+                    run_len, run_char = merge_heads_sharded(
+                        ddres.head_t, ddres.head_pos, ddres.head_len,
+                        ddres.head_smaller, ddres.head_char,
+                        ddres.ref_sa, ddres.ref_isa, ddres.ref_bwt,
+                        ddres.h, len(x_aug), coll.sn, coll.d, rq)
+                counter = None
+            else:
+                with timer.phase("merge_device"):
+                    from .device_merge import merge_heads_device_resident
+                    run_len, run_char, counter = \
+                        merge_heads_device_resident(
+                            ddres, coll.d, rq,
+                            want_counter=(len(x_aug)
+                                          < cfg.small_ref_threshold),
+                            wave=mw.get("wave"))
             index = ReferenceIndex(
                 x=x_aug, x_padded=np.concatenate(
                     [x_aug, np.zeros(1, np.uint8)]),

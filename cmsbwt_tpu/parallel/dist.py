@@ -30,6 +30,7 @@ terminates with a correct run).
 """
 from __future__ import annotations
 
+import functools
 import threading
 from contextlib import contextmanager
 
@@ -104,6 +105,24 @@ def shard(mesh: Mesh, arr, pad_val, local: int):
     arr = np.asarray(arr)
     out = np.full(R * local, pad_val, arr.dtype)
     out[: len(arr)] = arr
+    return jax.device_put(out, NamedSharding(mesh, P(AXIS)))
+
+
+@functools.partial(jax.jit, static_argnames=("G", "vl"))
+def _shard_dev_prep(a, G: int, vl: int):
+    with jax.enable_x64(True):
+        a64 = a[:vl].astype(jnp.int64)
+        return jnp.concatenate(
+            [a64, jnp.zeros(G - vl, jnp.int64)]) if G > vl else a64[:G]
+
+
+def shard_dev(mesh: Mesh, arr, local: int, valid_len: int):
+    """DEVICE array (int32/bool/uint8, zero-padded beyond valid_len) ->
+    regular-layout distributed int64 array, without a host round trip:
+    cast/pad on device, then reshard via device_put. The zero pad matches
+    ``shard``'s pad_val=0 convention."""
+    R = mesh.devices.size
+    out = _shard_dev_prep(arr, G=R * local, vl=min(valid_len, arr.shape[0]))
     return jax.device_put(out, NamedSharding(mesh, P(AXIS)))
 
 

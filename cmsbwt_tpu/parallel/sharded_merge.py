@@ -32,9 +32,10 @@ Exchange capacity: the sample-sort bucket exchanges and the query
 routers run on (R, cap_factor*local/R + 8) grids with drop-and-retry on
 overflow (parallel/dist.py capacity contract; driver loop in
 merge_heads_sharded doubles the factor until clean, terminating at the
-full-local grid). The contiguous-rank relayout (_route_rows) remains
-full-width — see its docstring. Remaining TODO: early convergence for
-_dist_suffix_sort (it always runs ceil(log2(G_H)) doubling rounds).
+full-local grid, and remembers the working factor per mesh size).
+_dist_suffix_sort skips doubling rounds once every rank is distinct
+(replicated done flag); the run list downloads as 1-byte packed
+per-shard geometric tiers (device_merge's download scheme).
 
 Validated byte-equal against the single-device merge and the host engine
 on the virtual 8-device CPU mesh (tests/test_sharded_merge.py) and by
@@ -744,16 +745,26 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
     cf = max(int(_os.environ.get("CMSBWT_SHARD_CAP_FACTOR", "4")),
              _CF_MEMO.get(R, 0))
     with jax.enable_x64(True):
-        args = [
-            D.shard(mesh, np.asarray(head_t, np.int64)[:h], 0, lh),
-            D.shard(mesh, np.asarray(head_pos, np.int64)[:h], 0, lh),
-            D.shard(mesh, np.asarray(head_len, np.int64)[:h], 0, lh),
-            D.shard(mesh, np.asarray(head_smaller, np.int64)[:h], 0, lh),
-            D.shard(mesh, np.asarray(head_char, np.int64)[:h], 0, lh),
-            D.shard(mesh, np.asarray(ref_sa, np.int64)[:n], 0, ln_),
-            D.shard(mesh, np.asarray(ref_isa, np.int64)[:n], 0, ln_),
-            D.shard(mesh, np.asarray(ref_bwt, np.int64)[:n], 0, ln_),
-        ]
+        if isinstance(head_t, jax.Array):
+            # device-resident inputs (DeviceHeadsResult): cast/pad on the
+            # chip and reshard — nothing O(n + H) crosses the host link
+            args = [D.shard_dev(mesh, a, lh, h)
+                    for a in (head_t, head_pos, head_len, head_smaller,
+                              head_char)] + \
+                   [D.shard_dev(mesh, a, ln_, n)
+                    for a in (ref_sa, ref_isa, ref_bwt)]
+        else:
+            args = [
+                D.shard(mesh, np.asarray(head_t, np.int64)[:h], 0, lh),
+                D.shard(mesh, np.asarray(head_pos, np.int64)[:h], 0, lh),
+                D.shard(mesh, np.asarray(head_len, np.int64)[:h], 0, lh),
+                D.shard(mesh, np.asarray(head_smaller, np.int64)[:h], 0,
+                        lh),
+                D.shard(mesh, np.asarray(head_char, np.int64)[:h], 0, lh),
+                D.shard(mesh, np.asarray(ref_sa, np.int64)[:n], 0, ln_),
+                D.shard(mesh, np.asarray(ref_isa, np.int64)[:n], 0, ln_),
+                D.shard(mesh, np.asarray(ref_bwt, np.int64)[:n], 0, ln_),
+            ]
         scal = jnp.asarray([h, n, sn, d], jnp.int64)
         rounds = 1
         while (1 << rounds) < max(lh * R, 2):
