@@ -876,7 +876,7 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
             for ts_ in t_sizes:
                 if ts_ >= need0:
                     t = ts_
-            p_np = np.asarray(p8_tiers[t_sizes.index(t)])
+            p_np = _gg(p8_tiers[t_sizes.index(t)])
             parts = [p_np[s * t: s * t + max(
                 0, min(n_runs - s * le, t))] for s in range(R)]
             p_all = np.concatenate(parts) if R > 1 else \
@@ -890,8 +890,8 @@ def merge_heads_sharded(head_t, head_pos, head_len, head_smaller,
                         bt = ts_
                 bi = bts.index(bt)
                 # big rows are global-front-compacted: shard 0's prefix
-                bk = np.asarray(big_tiers[bi][0])[:n_big]
-                bp = np.asarray(big_tiers[bi][1])[:n_big]
+                bk = _gg(big_tiers[bi][0])[:n_big]
+                bp = _gg(big_tiers[bi][1])[:n_big]
                 run_len[bk] = bp >> 8
                 run_char[bk] = (bp & 255).astype(np.uint8)
         else:  # rare: too many big runs for the overflow tiers
