@@ -925,8 +925,10 @@ def merge_device(head_t, head_pos, head_len, head_smaller, head_char,
     tg_wave.ready("tail_good")
     counter, n_exact_d, exact_members_d, e_pidx, e_fnd, src_cls = \
         tail_good_dev(cls, pairs, slot_base, h_t, n_t, h_pad, p_pad)
-    n_exact = int(_get(n_exact_d))
-    exact_members = int(_get(exact_members_d))
+    # one batched fetch — each separate device_get is a full tunnel
+    # round-trip (~50-90 ms measured)
+    n_exact, exact_members = (int(v) for v in
+                              _get((n_exact_d, exact_members_d)))
     mark("tail_good(exact=%d)" % n_exact, counter)
     if n_exact:
         e_pad = _pow2_pad(n_exact, 0)

@@ -526,21 +526,33 @@ def _pow2_pad(x: int) -> int:
     return 1 << max(4, int(np.ceil(np.log2(max(x, 1)))))
 
 
+_stage_timer_state = {"t": 0.0}
+
+
 def _stage_timer():
-    """Optional per-stage sync timing (CMSBWT_PROFILE=1)."""
+    """Optional per-stage sync timing (CMSBWT_PROFILE=1). All timer
+    instances share one clock: a nested pipeline stage's timer must not
+    restart the caller's elapsed window (its first mark would otherwise
+    re-report the whole callee runtime)."""
     import os
     import sys
     import time
     if not os.environ.get("CMSBWT_PROFILE"):
         return lambda name, *arrs: None
-    state = {"t": time.time()}
+    state = _stage_timer_state
+    state["t"] = time.time()
 
     def mark(name, *arrs):
+        # block_until_ready, NOT a 1-element download: on the axon backend
+        # a slice fetch can return before the producing program finishes,
+        # which charged whole stages to their successors (measured:
+        # "postprocess 3.2 s" for a 0.3 ms program)
         for a in arrs:
             try:
-                np.asarray(a[:1] if getattr(a, "ndim", 0) else a)
-            except Exception:
-                pass
+                jax.block_until_ready(a)
+            except Exception as e:
+                print(f"#   mark({name}) block FAILED: {e!r}",
+                      file=sys.stderr)
         now = time.time()
         print(f"#   {name}: {(now - state['t']) * 1e3:.0f} ms",
               file=sys.stderr)
@@ -655,10 +667,11 @@ def _dense_core(x_aug: np.ndarray, sx: np.ndarray, bucketed: bool):
     pos, length, smaller, ref_sa, ref_isa = _assemble(
         sa, pred_pos, succ_pos, av, bv, n_t, sn_t, m, n_pad, sn_pad)
     mark("assemble", pos)
-    return dict(b=b, n=n, sn=sn, n_pad=n_pad, sn_pad=sn_pad, m=m, rho=rho,
-                n_t=n_t, sn_t=sn_t, pos=pos, length=length,
-                smaller=smaller, ref_sa=ref_sa, ref_isa=ref_isa,
-                x_dev=x_dev, wave=wave)
+    core_d = dict(b=b, n=n, sn=sn, n_pad=n_pad, sn_pad=sn_pad, m=m, rho=rho,
+                  n_t=n_t, sn_t=sn_t, pos=pos, length=length,
+                  smaller=smaller, ref_sa=ref_sa, ref_isa=ref_isa,
+                  x_dev=x_dev, wave=wave)
+    return core_d
 
 
 def _export_ref(core) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
