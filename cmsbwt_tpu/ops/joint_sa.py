@@ -99,7 +99,11 @@ def joint_suffix_array(b: jnp.ndarray, sp: jnp.ndarray, m: int,
     assert m < (1 << 30), "rank+flag payload packing assumes m < 2^30"
     levels = n_levels(m)
     idx = jnp.arange(m, dtype=jnp.int32)
-    U = min(m, max(64, m // 16))  # compacted-round capacity (static)
+    # compacted-round capacity (static). m/16 measured best at the bench
+    # regimes: raising it to 3m/8 (to absorb the ~30 % unresolved after
+    # window 128) cost more in compacted-round machinery than the saved
+    # full round (joint_sa 1.42 s -> 1.96 s at the 20 Mchar config)
+    U = min(m, max(64, m // 16))
 
     if wide:
         assert m < (1 << 26), "wide seed packs (idx,byte,sp) in 60 bits"
