@@ -323,6 +323,62 @@ def dscatter(base, idx, val, local_b: int, n_shards: int,
         jnp.where(rx < local_b, rv, _dtype_min(val.dtype)), mode="drop")
 
 
+def dscatter_rows(base2, idx, vals2, local_b: int, n_shards: int,
+                  mode: str = "max"):
+    """K-channel dscatter over ONE shared routing of ``idx``: base2
+    (K, local_b) per shard, vals2 (K, L). The bucket-offset argsorts and
+    the index exchange are computed once instead of per channel — the
+    sharded tail stage's five segment fills share their scatter rows
+    (engine/device_merge.tail_good_dev's (5, P) trick, mesh form)."""
+    G = local_b * n_shards
+    live = (idx >= 0) & (idx < G)
+    if n_shards == 1:
+        at = jnp.where(live, idx, G)
+        if mode == "add":
+            return base2.at[:, at].add(vals2, mode="drop")
+        if mode == "set":
+            return base2.at[:, at].set(vals2, mode="drop")
+        return base2.at[:, at].max(vals2, mode="drop")
+    K = vals2.shape[0]
+    idxc = jnp.clip(idx, 0, G - 1)
+    dest = jnp.where(live, idxc // local_b, n_shards).astype(jnp.int32)
+    slot = (idxc - (idxc // local_b) * local_b).astype(jnp.int32)
+    offs = _bucket_offsets(dest, n_shards)
+    lq = idx.shape[0]
+    cap = _cap_rows(lq, n_shards)
+    _note_overflow(jnp.any(live & (offs >= cap)))
+    lo = _dtype_min(vals2.dtype)
+    dead = lo if mode == "max" else jnp.zeros((), vals2.dtype)
+    sendv = jnp.full((K, n_shards, cap), dead, vals2.dtype)
+    sendx = jnp.full((n_shards, cap), local_b, jnp.int32)
+    sendv = sendv.at[:, dest, offs].set(
+        jnp.where(live[None, :], vals2, dead), mode="drop")
+    sendx = sendx.at[dest, offs].set(jnp.where(live, slot, local_b),
+                                     mode="drop")
+    rv = jax.lax.all_to_all(sendv, AXIS, 1, 1,
+                            tiled=False).reshape(K, -1)
+    rx = jax.lax.all_to_all(sendx, AXIS, 0, 0, tiled=False).reshape(-1)
+    if mode == "set":
+        return base2.at[:, rx].set(rv, mode="drop")
+    if mode == "add":
+        return base2.at[:, rx].add(
+            jnp.where((rx < local_b)[None, :], rv, 0), mode="drop")
+    return base2.at[:, rx].max(
+        jnp.where((rx < local_b)[None, :], rv, lo), mode="drop")
+
+
+def dcummax_rows(vals2, n_shards: int):
+    """Row-wise dcummax of (K, local): one all_gather of the K tails
+    replaces K separate shard-prefix exchanges."""
+    c = jax.lax.cummax(vals2, axis=1)
+    if n_shards == 1:
+        return c
+    allv = jax.lax.all_gather(c[:, -1], AXIS)          # (n_shards, K)
+    mask = (jnp.arange(n_shards) < _s())[:, None]
+    pre = jnp.max(jnp.where(mask, allv, _dtype_min(vals2.dtype)), axis=0)
+    return jnp.maximum(c, pre[:, None])
+
+
 def _route_contig(gpos, vals, fills, local: int, n_shards: int):
     """Contiguous-rank relayout: per-shard ASCENDING global ranks ``gpos``
     (dead rows >= G) into the regular layout, for several value channels

@@ -53,8 +53,9 @@ from jax.sharding import NamedSharding, PartitionSpec as P
 
 from . import dist as D
 from ..utils.xfer import get_global as _gg
-from .dist import (AXIS, dcummax, dcummax_rev, dcummin_rev, dcumsum,
-                   dgather, dscatter, dshift, dsort, gidx64)
+from .dist import (AXIS, dcummax, dcummax_rev, dcummax_rows, dcummin_rev,
+                   dcumsum, dgather, dscatter, dscatter_rows, dshift,
+                   dsort, gidx64)
 
 I64 = jnp.int64
 # Python int, NOT jnp.int64(...): at import time x64 is typically disabled
@@ -391,30 +392,38 @@ def _tail_good(cls, pairs, slot_base, h, n, lh: int, lp: int, R: int):
     off = dcumsum(cnt, R) - cnt
     total = pairs["total"]
     pvalid = idx_p < total
-    # segment-expand src class + attributes via scatter + cummax (P domain)
+    # segment-expand src class + attributes (P domain): FIVE packed
+    # scatter+cummax fills with SHARED scatter rows — one routed
+    # multi-channel scatter + one row-wise cummax instead of five of
+    # each (the device merge's (5, P) shared-index fill, mesh form:
+    # the bucket-offset argsorts, the index all_to_all, and the
+    # shard-prefix exchanges are paid once)
     live_c = cvalid & (cnt > 0)
-    starts = dscatter(jnp.zeros(lp, I64),
-                      jnp.where(live_c, off, I64(-1)), idx_h + 1,
-                      lp, R, mode="max")
-    src_cls = jnp.clip(dcummax(starts, R) - 1, 0, G_H - 1)
-
-    def seg_fill(payload):
-        packed = (off + 1) << 33 | payload
-        base = dscatter(jnp.full(lp, -1, I64),
-                        jnp.where(live_c, off, I64(-1)), packed,
-                        lp, R, mode="max")
-        return dcummax(base, R) & ((I64(1) << 33) - 1)
-
-    delta1 = seg_fill(pairs["pair_lo"] - off + lp * R)
+    M33 = (I64(1) << 33) - 1
+    pay5 = jnp.stack([
+        idx_h + 1,
+        pairs["pair_lo"] - off + lp * R,
+        ((cls["length"] + cls["pos"]) << 1) | cls["smaller"].astype(I64),
+        cls["isa_next"],
+        cls["size"],
+    ])
+    base5 = dscatter_rows(jnp.full((5, lp), -1, I64),
+                          jnp.where(live_c, off, I64(-1)),
+                          ((off + 1) << 33)[None, :] | pay5,
+                          lp, R, mode="max")
+    filled5 = dcummax_rows(base5, R) & M33
+    # every live pair row (idx_p < total) is at-or-after the first class
+    # start (off 0), so the clip only touches dead rows (as before)
+    src_cls = jnp.clip(filled5[0] - 1, 0, G_H - 1)
+    delta1 = filled5[1]
     b_idx = idx_p + delta1 - lp * R
     b = dgather(pairs["bucket_pos"], jnp.clip(b_idx, 0, G_H - 1), I64(0),
                 lh, R)
-    s1s = seg_fill(((cls["length"] + cls["pos"]) << 1)
-                   | cls["smaller"].astype(I64))
+    s1s = filled5[2]
     q_len = (s1s >> 1) - b
     q_small = (s1s & 1) != 0
-    q_isa = seg_fill(cls["isa_next"])
-    q_size = seg_fill(cls["size"])
+    q_isa = filled5[3]
+    q_size = filled5[4]
     q_k = jnp.where(q_small, q_len, 2 * n - q_len)
 
     scale = n + 1
